@@ -1,38 +1,691 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (transcript assembly → windowed
+features) on sf0.001. ``queries()`` exposes one callable per implemented
+operator from SURVEY.md §2 (each takes (spark, sf_dir) and returns a
+DataFrame); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the
+same parquet views. Column names and rounding are matched on both sides
+(driver compare is order-insensitive value-hash over name-sorted columns).
+
+Non-SQL-expressible operators (MDL infgain, mRMR greedy, model-based steps,
+boruta, minhash-LSH) are exposed as rows-only checks (no oracle entry).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ROUND = 6
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → transcript shape → point-in-time feature matrix."""
+    from recipeselectors_spark.operators import assembly
+    from recipeselectors_spark.sources import transcripts as T
 
+    tx = T.events_as_transcripts(spark, "/root/testdata/sf0.001")
+    return assembly.assemble_features(tx.drop("value"))
+
+
+# ---------------------------------------------------------------------------
+# window / sessionize / rollup operators (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import windows as W
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("v_lag1"),
+        F.lead("value", 1).over(w).alias("v_lead1"),
+    )
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last("pv", ignorenulls=True).over(w).alias("purchase_ffill"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), ROUND).alias("sum_value"),
+    )
+
+
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), ROUND).alias("roll_mean5"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.avg(F.length("props")), ROUND).alias("avg_props_len"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-ordering dedup of duplicate (user, minute-bucket) rows."""
+    ev = _events(spark, sf_dir).withColumn(
+        "minute", F.date_trunc("minute", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id", "minute").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "minute", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir)
+    # dedup same-(user, ts) feature rows deterministically (max value)
+    feats = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumnRenamed("user_id", "conv_id")
+    )
+    spine = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumnRenamed("user_id", "conv_id")
+    )
+    return spine, feats
+
+
+def q_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import asof
+
+    spine, feats = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join_union(spine, feats, ["click_value"], on="conv_id")
+    return out.select(
+        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
+    )
+
+
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import asof
+
+    spine, feats = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join_cogroup(
+        spine, feats, ["click_value"], on="conv_id", num_shards=16
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
+    )
+
+
+_ASOF_ORACLE = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+spine AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT s.user_id, s.ts, s.purchase_id, f.click_value
+FROM spine s ASOF LEFT JOIN feats f
+  ON s.user_id = f.user_id AND s.ts >= f.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# selection-step scoring (distributed operators → tiny score frames)
+# ---------------------------------------------------------------------------
+
+def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("props_len"),
+        F.when(F.col("event_type") == "purchase", "pos").otherwise("neg").alias("y"),
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum ROC AUC per feature via the RocStep Catalyst plan."""
+    from recipeselectors_spark.operators import RocStep
+
+    df = _feature_frame(spark, sf_dir)
+    fitted = RocStep("y", terms=["value", "props_len"], top_p=1).prep(df)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, auc double")
+
+
+_ROC_ORACLE = f"""
+WITH feat AS (
+  SELECT 'value' AS feature, CAST(value AS double) AS x,
+         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  UNION ALL
+  SELECT 'props_len', CAST(length(props) AS double),
+         CASE WHEN event_type='purchase' THEN 1 ELSE 0 END
+  FROM events
+),
+hist AS (
+  SELECT feature, x, SUM(pos)::double w_pos, SUM(1-pos)::double w_neg
+  FROM feat GROUP BY feature, x
+),
+cum AS (
+  SELECT feature, w_pos, w_neg,
+         COALESCE(SUM(w_neg) OVER (PARTITION BY feature ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM hist
+),
+auc AS (
+  SELECT feature,
+         SUM(w_pos*(cum_neg + w_neg/2)) / (SUM(w_pos)*SUM(w_neg)) AS a
+  FROM cum GROUP BY feature
+)
+SELECT feature, ROUND(GREATEST(a, 1-a), {ROUND}) AS auc FROM auc ORDER BY feature
+"""
+
+
+def q_infgain_equalfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency-binned information gain via InfGainStep (cut learning
+    through applyInPandas + distributed binned counts)."""
+    from recipeselectors_spark.operators import InfGainStep
+
+    df = _feature_frame(spark, sf_dir).select("value", "y")
+    fitted = InfGainStep(
+        "y", terms=["value"], threshold=0.5, equal=True, bins=4
+    ).prep(df)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, infogain double")
+
+
+_INFGAIN_ORACLE = f"""
+WITH feat AS (
+  SELECT CAST(value AS double) AS x,
+         CASE WHEN event_type='purchase' THEN 'pos' ELSE 'neg' END AS y
+  FROM events
+),
+cuts AS (
+  SELECT quantile_cont(x, 0.25) c1, quantile_cont(x, 0.50) c2,
+         quantile_cont(x, 0.75) c3
+  FROM feat
+),
+binned AS (
+  SELECT CASE WHEN x >= c3 THEN 3 WHEN x >= c2 THEN 2
+              WHEN x >= c1 THEN 1 ELSE 0 END AS bin, y
+  FROM feat, cuts
+),
+joint AS (SELECT bin, y, COUNT(*)::double AS n FROM binned GROUP BY bin, y),
+tot AS (SELECT SUM(n) AS nt FROM joint),
+hx AS (SELECT -SUM(p*LN(p)) AS h FROM
+        (SELECT SUM(n)/(SELECT nt FROM tot) AS p FROM joint GROUP BY bin)),
+hy AS (SELECT -SUM(p*LN(p)) AS h FROM
+        (SELECT SUM(n)/(SELECT nt FROM tot) AS p FROM joint GROUP BY y)),
+hxy AS (SELECT -SUM(p*LN(p)) AS h FROM
+        (SELECT n/(SELECT nt FROM tot) AS p FROM joint))
+SELECT 'value' AS feature,
+       ROUND((SELECT h FROM hx)+(SELECT h FROM hy)-(SELECT h FROM hxy), {ROUND})
+         AS infogain
+"""
+
+
+def q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic per categorical feature from the melted
+    contingency aggregation (no continuity correction, to stay
+    SQL-expressible; the p-value transform is unit-tested separately)."""
+    import numpy as np
+
+    from recipeselectors_spark.functions import stats
+    from recipeselectors_spark.operators import _scoring
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.concat(
+            F.lit("b"), F.floor(F.col("value") % 4).cast("int").cast("string")
+        ).alias("value_bucket"),
+        F.when(F.col("value") > 5.0, "hi").otherwise("lo").alias("y"),
+    )
+    pdf = _scoring.nominal_contingency(ev, ["event_type", "value_bucket"], "y")
+    tables = _scoring.joint_tables(pdf, bin_col="x", drop_null_bin=False)
+    rows = []
+    for feat in sorted(tables):
+        stat, _ = stats.chi2_stat(tables[feat], correction=False)
+        rows.append((feat, round(float(stat), ROUND)))
+    return spark.createDataFrame(rows, "feature string, chi2 double")
+
+
+_CHI2_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         'b' || CAST(CAST(floor(value % 4) AS int) AS varchar) AS value_bucket,
+         CASE WHEN value > 5.0 THEN 'hi' ELSE 'lo' END AS y
+  FROM events
+),
+melted AS (
+  SELECT 'event_type' AS feature, event_type AS x, y FROM base
+  UNION ALL
+  SELECT 'value_bucket', value_bucket, y FROM base
+),
+joint AS (SELECT feature, x, y, COUNT(*)::double n FROM melted GROUP BY 1,2,3),
+margins AS (
+  SELECT j.feature, j.x, j.y, j.n,
+         SUM(j.n) OVER (PARTITION BY j.feature, j.x) AS row_n,
+         SUM(j.n) OVER (PARTITION BY j.feature, j.y) AS col_n,
+         SUM(j.n) OVER (PARTITION BY j.feature) AS tot_n
+  FROM joint j
+),
+cells AS (
+  SELECT feature, x, y, n, row_n*col_n/tot_n AS e FROM margins
+),
+-- include zero cells: full cross of observed rows × cols per feature
+full_cells AS (
+  SELECT rx.feature, rx.x, cy.y,
+         COALESCE(c.n, 0) AS n, rx.row_n*cy.col_n/rx.tot_n AS e
+  FROM (SELECT DISTINCT feature, x, row_n, tot_n FROM margins) rx
+  JOIN (SELECT DISTINCT feature, y, col_n FROM margins) cy USING (feature)
+  LEFT JOIN cells c ON c.feature=rx.feature AND c.x=rx.x AND c.y=cy.y
+)
+SELECT feature, ROUND(SUM((n-e)*(n-e)/e), {ROUND}) AS chi2
+FROM full_cells GROUP BY feature ORDER BY feature
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity (operators for training-data pipelines)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    return docs.select(
+        "doc_id",
+        F.round(stop / F.size(toks), ROUND).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), ROUND
+        ).alias("avg_word_len"),
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 against query vec_id=0 (similarity-search
+    baseline; F.aggregate/zip_with dot product, JVM-side)."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = joined.select(
+        "vec_id",
+        F.round(dot / (norm(F.col("embedding")) * norm(F.col("q_emb"))), 5).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(5)
+
+
+_COSINE_ORACLE = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]) /
+          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))), 5)
+           AS cosine
+  FROM embeddings e, q WHERE e.vec_id != 0
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible operators — driver records a weaker
+# rows-only check; full oracles live in tests/ against pandas/numpy)
+# ---------------------------------------------------------------------------
+
+def q_assemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full point-in-time feature matrix (window lag/lead/ffill/sessionize)."""
+    from recipeselectors_spark.operators import assembly
+    from recipeselectors_spark.sources import transcripts as T
+
+    tx = T.events_as_transcripts(spark, sf_dir).drop("value")
+    return assembly.assemble_features(tx)
+
+
+def q_infgain_mdl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDL-discretized information gain (FSelectorRcpp default semantics)."""
+    from recipeselectors_spark.operators import InfGainStep
+
+    df = _feature_frame(spark, sf_dir)
+    fitted = InfGainStep(
+        "y", terms=["value", "props_len"], top_p=1
+    ).prep(df)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, infogain double")
+
+
+def q_mrmr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import MrmrStep
+
+    df = _feature_frame(spark, sf_dir)
+    fitted = MrmrStep("y", terms=["value", "props_len"], top_p=1).prep(df)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, mrmr double")
+
+
+def q_carscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAR scores on lineitem: price vs quantity/discount/tax."""
+    from recipeselectors_spark.operators import CarScoreStep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    fitted = CarScoreStep(
+        "l_extendedprice", terms=["l_quantity", "l_discount", "l_tax"], top_p=2
+    ).prep(li)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, carscore double")
+
+
+def q_linear_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import LinearStep
+    from recipeselectors_spark.plans.pipeline import NormalizeStep, Recipe
+
+    df = _feature_frame(spark, sf_dir)
+    rec = (
+        Recipe()
+        .add(NormalizeStep(["value", "props_len"]))
+        .add(LinearStep("y", terms=["value", "props_len"], top_p=1))
+    )
+    fitted = rec.prep(df)
+    scores = fitted.steps[-1].scores
+    rows = [(k, round(v, ROUND)) for k, v in sorted(scores.items())]
+    return spark.createDataFrame(rows, "feature string, abs_coef double")
+
+
+def q_forest_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import ForestsStep
+
+    df = _feature_frame(spark, sf_dir)
+    fitted = ForestsStep(
+        "y", terms=["value", "props_len"], top_p=1, trees=20, seed=42
+    ).prep(df)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import dedup as D
+
+    return D.minhash_dedup_pairs(
+        _documents(spark, sf_dir), num_perm=32, bands=8, threshold=0.8
+    ).withColumn("est_jaccard", F.round("est_jaccard", ROUND))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import dedup as D
+
+    return D.with_simhash(_documents(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.functions import text as TX
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", TX.langid_expr("text").alias("lang_pred")
+    )
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import similarity as S
+
+    emb = _embeddings(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    query = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = S.lsh_ann_topk(corpus, query, k=5, n_planes=4, bands=8)
+    return out.withColumn("cosine", F.round("cosine", 5))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lag_lead": q_lag_lead,
+        "ffill": q_ffill,
+        "sessionize": q_sessionize,
+        "rolling_mean": q_rolling_mean,
+        "rollup": q_rollup,
+        "topk_per_user": q_topk_per_user,
+        "dedup_turns": q_dedup_turns,
+        "asof_union": q_asof_union,
+        "asof_cogroup": q_asof_cogroup,
+        "roc_auc": q_roc_auc,
+        "infgain_equalfreq": q_infgain_equalfreq,
+        "chi2_stat": q_chi2_stat,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (no SQL oracle)
+        "assemble_features": q_assemble_features,
+        "infgain_mdl": q_infgain_mdl,
+        "mrmr_scores": q_mrmr_scores,
+        "carscore": q_carscore,
+        "linear_coefs": q_linear_coefs,
+        "forest_importance": q_forest_importance,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "lsh_ann": q_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lag_lead": """
+            SELECT user_id, event_id,
+                   LAG(value) OVER w AS v_lag1,
+                   LEAD(value) OVER w AS v_lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "ffill": """
+            SELECT user_id, event_id,
+                   LAST_VALUE(CASE WHEN event_type='purchase' THEN value END
+                     IGNORE NULLS) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS purchase_ffill
+            FROM events
+        """,
+        "sessionize": f"""
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) > 3600
+                       OR LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess,
+                     event_id
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value), {ROUND}) AS sum_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "rolling_mean": f"""
+            SELECT user_id, event_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), {ROUND})
+                     AS roll_mean5
+            FROM events
+        """,
+        "rollup": f"""
+            SELECT user_id, COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   ROUND(AVG(length(props)), {ROUND}) AS avg_props_len,
+                   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                     AS n_purchases,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, value, rn FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "dedup_turns": """
+            SELECT user_id, minute, event_id FROM (
+              SELECT user_id, date_trunc('minute', ts) AS minute, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id,
+                       date_trunc('minute', ts) ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "asof_union": _ASOF_ORACLE,
+        "asof_cogroup": _ASOF_ORACLE,
+        "roc_auc": _ROC_ORACLE,
+        "infgain_equalfreq": _INFGAIN_ORACLE,
+        "chi2_stat": _CHI2_ORACLE,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id, length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+              FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(length(list_filter(toks, t -> t='the' OR t='a'))::double
+                     / length(toks), {ROUND}) AS stopword_ratio,
+                   ROUND((nc - length(toks) + 1)::double / length(toks),
+                     {ROUND}) AS avg_word_len
+            FROM t
+        """,
+        "cosine_topk": _COSINE_ORACLE,
+    }

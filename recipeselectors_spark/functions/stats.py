@@ -1,0 +1,303 @@
+"""Pure numpy statistical kernels.
+
+These are the numeric hearts of the selection steps — the work the reference
+delegates to C++ packages (FSelectorRcpp / praznik / pROC / stats::chisq.test;
+see SURVEY.md §2.2). They operate on *small* aggregated inputs (contingency
+counts, rank sums, p-vector correlation matrices) collected to the driver, or
+inside Arrow pandas-UDF batches. scipy is unavailable in this environment, so
+the special functions (regularized incomplete gamma for the chi-square
+survival function, hypergeometric tail for Fisher's exact test, exact binomial
+tails for Boruta) are implemented directly — standard textbook series /
+continued-fraction forms.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "entropy_from_counts",
+    "info_gain_from_joint",
+    "mutual_information",
+    "auc_from_rank_sum",
+    "auc_binary",
+    "auc_hand_till",
+    "chi2_stat",
+    "chi2_sf",
+    "chi2_test",
+    "fisher_exact_2x2",
+    "bh_adjust",
+    "carscore",
+    "binom_sf",
+    "binom_cdf",
+]
+
+
+# --------------------------------------------------------------------------
+# entropy / information gain (FSelectorRcpp::information_gain parity,
+# /root/reference/R/step_select_infgain.R:142-151) — natural-log entropies
+# --------------------------------------------------------------------------
+
+def entropy_from_counts(counts: np.ndarray) -> float:
+    """H = -sum p ln p over nonzero cells."""
+    c = np.asarray(counts, dtype=float).ravel()
+    n = c.sum()
+    if n == 0:
+        return 0.0
+    p = c[c > 0] / n
+    return float(-(p * np.log(p)).sum())
+
+
+def info_gain_from_joint(joint: np.ndarray, kind: str = "infogain") -> float:
+    """Information gain family from a joint (x-bin × y-class) count table.
+
+    ig  = H(Y) + H(X) - H(X,Y)
+    gainratio = ig / H(X)
+    symuncert = 2*ig / (H(X) + H(Y))
+    """
+    joint = np.asarray(joint, dtype=float)
+    hx = entropy_from_counts(joint.sum(axis=1))
+    hy = entropy_from_counts(joint.sum(axis=0))
+    hxy = entropy_from_counts(joint)
+    ig = hx + hy - hxy
+    if kind == "infogain":
+        return float(ig)
+    if kind == "gainratio":
+        return float(ig / hx) if hx > 0 else 0.0
+    if kind == "symuncert":
+        denom = hx + hy
+        return float(2.0 * ig / denom) if denom > 0 else 0.0
+    raise ValueError(kind)
+
+
+def mutual_information(joint: np.ndarray) -> float:
+    """I(X;Y) in nats from a joint count table (praznik MI estimator shape)."""
+    return info_gain_from_joint(joint, "infogain")
+
+
+# --------------------------------------------------------------------------
+# ROC AUC (pROC parity, /root/reference/R/step_select_roc.R:108-123)
+# --------------------------------------------------------------------------
+
+def auc_from_rank_sum(rank_sum_pos: float, n_pos: int, n_neg: int) -> float:
+    """Mann–Whitney: AUC = (R1 - n1(n1+1)/2) / (n1*n0) with midranks."""
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    u = rank_sum_pos - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def auc_binary(x: np.ndarray, y_pos: np.ndarray, direction_auto: bool = True) -> float:
+    """AUC of scalar ``x`` for the binary indicator ``y_pos`` using average
+    ranks (tie-corrected). ``direction='auto'`` in pROC picks the direction
+    with AUC >= 0.5, i.e. effectively max(A, 1-A) (step_select_roc.R:46)."""
+    x = np.asarray(x, dtype=float)
+    y_pos = np.asarray(y_pos, dtype=bool)
+    ok = ~np.isnan(x)
+    x, y_pos = x[ok], y_pos[ok]
+    n1, n0 = int(y_pos.sum()), int((~y_pos).sum())
+    if n1 == 0 or n0 == 0:
+        return float("nan")
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x))
+    ranks[order] = np.arange(1, len(x) + 1)
+    # midranks for ties
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    a = auc_from_rank_sum(float(ranks[y_pos].sum()), n1, n0)
+    return float(max(a, 1 - a)) if direction_auto else a
+
+
+def auc_hand_till(x: np.ndarray, y: np.ndarray) -> float:
+    """Multiclass AUC: mean over unordered class pairs of the pairwise binary
+    AUC (direction auto), the univariate-predictor form of Hand & Till (2001)
+    used by pROC's multiclass.roc (step_select_roc.R:115)."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y)
+    classes = sorted(set(y.tolist()))
+    if len(classes) < 2:
+        return float("nan")
+    aucs = []
+    for i in range(len(classes)):
+        for j in range(i + 1, len(classes)):
+            mask = (y == classes[i]) | (y == classes[j])
+            aucs.append(auc_binary(x[mask], (y[mask] == classes[i])))
+    return float(np.nanmean(aucs))
+
+
+# --------------------------------------------------------------------------
+# chi-square / Fisher (R stats::chisq.test / fisher.test parity,
+# /root/reference/R/step_select_xtab.R:113-121)
+# --------------------------------------------------------------------------
+
+def chi2_stat(table: np.ndarray, correction: bool | None = None) -> tuple[float, int]:
+    """Pearson chi-square statistic + dof; Yates continuity correction on
+    2×2 by default, matching R chisq.test(correct=TRUE)."""
+    t = np.asarray(table, dtype=float)
+    t = t[t.sum(axis=1) > 0][:, t.sum(axis=0) > 0]
+    if t.shape[0] < 2 or t.shape[1] < 2:
+        return float("nan"), 0
+    n = t.sum()
+    expected = np.outer(t.sum(axis=1), t.sum(axis=0)) / n
+    if correction is None:
+        correction = t.shape == (2, 2)
+    diff = np.abs(t - expected)
+    if correction:
+        diff = np.maximum(diff - 0.5, 0.0)
+    stat = float((diff**2 / expected).sum())
+    dof = (t.shape[0] - 1) * (t.shape[1] - 1)
+    return stat, dof
+
+
+def _gammainc_lower_reg(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) — series for x < a+1,
+    continued fraction otherwise (Numerical-Recipes-style, public formulas)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 0.0
+    gln = math.lgamma(a)
+    if x < a + 1.0:
+        ap, total, delta = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            total += delta
+            if abs(delta) < abs(total) * 1e-15:
+                break
+        return total * math.exp(-x + a * math.log(x) - gln)
+    # continued fraction for Q(a,x), modified Lentz
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + a * math.log(x) - gln) * h
+    return 1.0 - q
+
+
+def chi2_sf(stat: float, dof: int) -> float:
+    """Survival function of the chi-square distribution: Q(dof/2, stat/2)."""
+    if math.isnan(stat) or dof <= 0:
+        return float("nan")
+    return max(0.0, min(1.0, 1.0 - _gammainc_lower_reg(dof / 2.0, stat / 2.0)))
+
+
+def chi2_test(table: np.ndarray, correction: bool | None = None) -> float:
+    stat, dof = chi2_stat(table, correction)
+    return chi2_sf(stat, dof)
+
+
+def fisher_exact_2x2(table: np.ndarray) -> float:
+    """Two-sided Fisher exact p-value on a 2×2 table: sum of hypergeometric
+    probabilities <= the observed one (R fisher.test default). r×c tables are
+    out of scope (documented restriction, SURVEY.md §7)."""
+    t = np.asarray(table, dtype=int)
+    if t.shape != (2, 2):
+        raise NotImplementedError("fisher_exact supports 2x2 tables only")
+    a, b = int(t[0, 0]), int(t[0, 1])
+    c, d = int(t[1, 0]), int(t[1, 1])
+    row1, col1, n = a + b, a + c, a + b + c + d
+
+    def log_p(k: int) -> float:
+        return (
+            math.lgamma(row1 + 1) - math.lgamma(k + 1) - math.lgamma(row1 - k + 1)
+            + math.lgamma(n - row1 + 1) - math.lgamma(col1 - k + 1)
+            - math.lgamma(n - row1 - col1 + k + 1)
+            - (math.lgamma(n + 1) - math.lgamma(col1 + 1) - math.lgamma(n - col1 + 1))
+        )
+
+    lo, hi = max(0, col1 - (n - row1)), min(row1, col1)
+    p_obs = log_p(a)
+    total = 0.0
+    for k in range(lo, hi + 1):
+        lp = log_p(k)
+        if lp <= p_obs + 1e-7:  # R's relative tolerance on ties
+            total += math.exp(lp)
+    return float(min(1.0, total))
+
+
+def bh_adjust(pvals: np.ndarray) -> np.ndarray:
+    """Benjamini–Hochberg FDR adjustment, p.adjust(method='BH') parity
+    (step_select_xtab.R:146-148). NaNs propagate."""
+    p = np.asarray(pvals, dtype=float)
+    out = np.full_like(p, np.nan)
+    ok = ~np.isnan(p)
+    pv = p[ok]
+    m = len(pv)
+    if m == 0:
+        return out
+    order = np.argsort(pv, kind="mergesort")[::-1]  # descending
+    ranked = pv[order] * m / np.arange(m, 0, -1)
+    adj = np.minimum.accumulate(ranked)
+    res = np.empty(m)
+    res[order] = np.minimum(adj, 1.0)
+    out[ok] = res
+    return out
+
+
+# --------------------------------------------------------------------------
+# CAR scores (care::carscore parity, /root/reference/R/step_select_carscore.R)
+# --------------------------------------------------------------------------
+
+def carscore(
+    rxx: np.ndarray,
+    rxy: np.ndarray,
+    lam: float = 0.0,
+    diagonal: bool = False,
+) -> np.ndarray:
+    """omega = R_XX^{-1/2} · corr(X, y), returned as |omega|
+    (step_select_carscore.R:157-160). ``lam`` shrinks R_XX toward identity
+    ((1-lam)·R + lam·I, care's shrinkage form with an explicit lambda);
+    ``diagonal=True`` short-circuits to plain marginal correlations
+    (step_select_carscore.R:151)."""
+    rxy = np.asarray(rxy, dtype=float)
+    if diagonal:
+        return np.abs(rxy)
+    r = np.asarray(rxx, dtype=float)
+    if lam > 0:
+        r = (1.0 - lam) * r + lam * np.eye(r.shape[0])
+    vals, vecs = np.linalg.eigh(r)
+    vals = np.maximum(vals, 1e-12)
+    r_inv_sqrt = vecs @ np.diag(vals**-0.5) @ vecs.T
+    return np.abs(r_inv_sqrt @ rxy)
+
+
+# --------------------------------------------------------------------------
+# exact binomial tails (Boruta hit tests,
+# /root/reference/R/step_select_boruta.R:55 — pValue=0.01, mcAdj=TRUE)
+# --------------------------------------------------------------------------
+
+def binom_cdf(k: int, n: int, p: float = 0.5) -> float:
+    ks = np.arange(0, k + 1)
+    log_pmf = (
+        [math.lgamma(n + 1) - math.lgamma(x + 1) - math.lgamma(n - x + 1)
+         + x * math.log(p) + (n - x) * math.log(1 - p) for x in ks]
+    )
+    return float(min(1.0, np.exp(np.array(log_pmf)).sum()))
+
+
+def binom_sf(k: int, n: int, p: float = 0.5) -> float:
+    """P(X > k)."""
+    return float(max(0.0, 1.0 - binom_cdf(k, n, p)))

@@ -1,0 +1,147 @@
+"""Text featurization kernels — Catalyst column expressions where possible,
+numpy helpers for the pandas-UDF paths.
+
+These power the large-scale training-data operators (dedup, quality
+filtering, language ID) over ``documents``-shaped tables. Everything here is
+deterministic and seedable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, functions as F
+
+# small per-language stopword inventories for the n-gram/stopword heuristic
+# language identifier (public common-word lists)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "que"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就"],
+}
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (JVM-side)."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer (JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    stops = F.array([F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(toks, stops))
+    # ratio of *distinct-stopword hits* would undercount; count memberships:
+    member = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return member / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] doc-quality heuristic: length band + punctuation band
+    + stopword presence (the classic pre-training filters, vectorized)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = (n_tok >= 5) & (n_tok <= 100000)
+    mean_word = F.length(c) / F.greatest(n_tok, F.lit(1))
+    word_ok = (mean_word >= 2) & (mean_word <= 12)
+    punct_ok = punct_ratio(c) < 0.3
+    stop_ok = stopword_ratio(c) > 0.005
+    return (
+        len_ok.cast("double") * 0.25
+        + word_ok.cast("double") * 0.25
+        + punct_ok.cast("double") * 0.25
+        + stop_ok.cast("double") * 0.25
+    )
+
+
+def langid_expr(col: Column | str, langs: tuple[str, ...] = ("en", "de", "fr", "es")) -> Column:
+    """Stopword-vote language ID, pure Catalyst: the language with the most
+    stopword memberships wins; ties and zero-votes -> 'und'."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    toks = tokens(c)
+    scores = []
+    for lang in langs:
+        stops = F.array([F.lit(s) for s in STOPWORDS[lang]])
+        votes = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        scores.append(F.struct(votes.alias("v"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["v"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as int32 hashes (xxhash64 truncated) — the minhash
+    input. Pure Catalyst: transform over a token-index sequence."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        )
+    )).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+
+
+# ---- numpy-side helpers (oracles + pandas-UDF kernels) -------------------
+
+def simhash64(token_lists: "list[list[str]]") -> np.ndarray:
+    """64-bit SimHash per document from token lists (numpy batch kernel)."""
+    out = np.zeros(len(token_lists), dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = np.uint64(hash_str64(t))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes += np.where(bits == 1, 1, -1)
+        bits = (votes > 0).astype(np.uint64)
+        out[i] = np.sum(bits << np.arange(64, dtype=np.uint64), dtype=np.uint64)
+    return out
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a string hash (process-seed independent)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 31) -> int:
+    """Rabin-Karp style rolling-hash document fingerprint: min of window
+    hashes (winnowing-lite), deterministic."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return hash_str64(text) % mod
+    base, h = 257, 0
+    pw = pow(base, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % mod
+        h = (h * base + b) % mod
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best

@@ -1,0 +1,68 @@
+"""Shared MLlib plumbing for the model-based steps.
+
+Assembles the selected numeric predictors into a vector column, indexes a
+nominal outcome (the label dictionary is fit state — learned on train only,
+the leakage rule), fits the estimator, and returns the model. All heavy
+lifting is MLlib's (JVM, distributed); the driver only sees the p-sized
+importance vector.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType, StringType
+
+
+FEATURES_COL = "__features__"
+LABEL_COL = "__label__"
+
+
+def outcome_kind(df: DataFrame, outcome: str) -> str:
+    t = {f.name: f.dataType for f in df.schema.fields}[outcome]
+    if isinstance(t, NumericType):
+        return "regression"
+    if isinstance(t, StringType):
+        return "classification"
+    raise TypeError(f"unsupported outcome type {t}")
+
+
+def n_classes(df: DataFrame, outcome: str) -> int:
+    return df.select(outcome).where(F.col(outcome).isNotNull()).distinct().count()
+
+
+def label_mapping(df: DataFrame, outcome: str) -> dict[str, int]:
+    """Deterministic label index: lexicographic class order (fit state)."""
+    classes = sorted(
+        r[0]
+        for r in df.select(outcome).where(F.col(outcome).isNotNull()).distinct().collect()
+    )
+    return {c: i for i, c in enumerate(classes)}
+
+
+def prepare(
+    df: DataFrame, x_names: list[str], outcome: str
+) -> tuple[DataFrame, str]:
+    """Return (assembled df with __features__/__label__, task kind)."""
+    kind = outcome_kind(df, outcome)
+    cols = list(x_names) + [outcome]
+    clean = df.select(*cols).dropna()
+    if kind == "classification":
+        mapping = label_mapping(clean, outcome)
+        expr = F.lit(None).cast("double")
+        for cls_name, idx in mapping.items():
+            expr = F.when(F.col(outcome) == cls_name, float(idx)).otherwise(expr)
+        clean = clean.withColumn(LABEL_COL, expr)
+    else:
+        clean = clean.withColumn(LABEL_COL, F.col(outcome).cast("double"))
+    assembler = VectorAssembler(
+        inputCols=list(x_names), outputCol=FEATURES_COL, handleInvalid="skip"
+    )
+    return assembler.transform(clean), kind
+
+
+def fit_estimator(estimator: Any, assembled: DataFrame) -> Any:
+    estimator = estimator.setFeaturesCol(FEATURES_COL).setLabelCol(LABEL_COL)
+    return estimator.fit(assembled)

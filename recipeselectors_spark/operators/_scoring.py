@@ -1,0 +1,158 @@
+"""Shared distributed-scoring layout.
+
+The filter-style steps (infgain, roc, xtab, mrmr) all reduce to statistics of
+per-feature contingency/histogram tables against the outcome. Rather than p
+separate jobs, we *melt* the p selected columns into a tall
+``(feature, x, y)`` frame with ``stack`` — ONE shuffle then serves every
+feature's aggregation (SURVEY.md §4 "single-pass multi-feature contingency
+aggregation"). The aggregated histograms (p × bins × classes cells) are tiny
+and collected to the driver where the numpy kernels in functions/stats.py
+finish the job.
+
+Scale notes (100 TB): the melt multiplies rows by p but the immediate
+``groupBy(feature, x, y).count()`` map-side-combines before the shuffle, so
+shuffle volume is bounded by distinct cells, not rows. Cut-point learning for
+numeric features can run on a seeded sample (``sample_frac``) — cuts are fit
+state, exactness of *counts* is preserved because binning is applied
+distributed, post-learning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType, StringType
+
+from recipeselectors_spark.functions import discretize
+
+
+def quote(c: str) -> str:
+    return f"`{c}`"
+
+
+def numeric_cols(df: DataFrame, names: list[str]) -> list[str]:
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in names if isinstance(types[c], NumericType)]
+
+
+def nominal_cols(df: DataFrame, names: list[str]) -> list[str]:
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in names if isinstance(types[c], StringType)]
+
+
+def melt_numeric(df: DataFrame, x_names: list[str], outcome: str) -> DataFrame:
+    """(feature:string, x:double, y:string) tall frame via stack — a
+    zero-shuffle generator, codegen'd."""
+    pairs = ", ".join(f"'{c}', cast({quote(c)} as double)" for c in x_names)
+    return df.selectExpr(
+        f"stack({len(x_names)}, {pairs}) as (feature, x)",
+        f"cast({quote(outcome)} as string) as y",
+    )
+
+
+def melt_nominal(df: DataFrame, x_names: list[str], outcome: str) -> DataFrame:
+    pairs = ", ".join(f"'{c}', cast({quote(c)} as string)" for c in x_names)
+    return df.selectExpr(
+        f"stack({len(x_names)}, {pairs}) as (feature, x)",
+        f"cast({quote(outcome)} as string) as y",
+    )
+
+
+def class_histogram(df: DataFrame, x_names: list[str], outcome: str) -> pd.DataFrame:
+    """Per-(feature, value, class) counts for *numeric* features, collected.
+    One shuffle; map-side combine bounds the shuffle to distinct cells."""
+    melted = melt_numeric(df, x_names, outcome)
+    agg = melted.groupBy("feature", "x", "y").agg(F.count("*").alias("n"))
+    return agg.toPandas()
+
+
+def nominal_contingency(df: DataFrame, x_names: list[str], outcome: str) -> pd.DataFrame:
+    melted = melt_nominal(df, x_names, outcome)
+    agg = melted.groupBy("feature", "x", "y").agg(F.count("*").alias("n"))
+    return agg.toPandas()
+
+
+def learn_numeric_cuts(
+    df: DataFrame,
+    x_names: list[str],
+    outcome: str,
+    method: str = "mdl",
+    bins: int = 10,
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> dict[str, list[float]]:
+    """Learn per-feature cut points with ONE applyInPandas pass over the
+    melted frame (small output: p rows of cut arrays). ``sample_frac``
+    bounds per-feature group memory at scale."""
+    melted = melt_numeric(df, x_names, outcome)
+    if sample_frac is not None:
+        melted = melted.sample(fraction=sample_frac, seed=seed)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        feat = pdf["feature"].iloc[0]
+        x = pdf["x"].to_numpy(dtype=float)
+        if method == "mdl":
+            y, _ = pd.factorize(pdf["y"], sort=True)
+            cuts = discretize.mdl_cut_points(x, y)
+        else:
+            cuts = discretize.equal_freq_cut_points(x, bins=bins)
+        return pd.DataFrame({"feature": [feat], "cuts": [cuts]})
+
+    out = (
+        melted.groupBy("feature")
+        .applyInPandas(kernel, schema="feature string, cuts array<double>")
+        .collect()
+    )
+    return {r["feature"]: list(r["cuts"]) for r in out}
+
+
+def binned_joint_counts(
+    df: DataFrame,
+    cuts: dict[str, list[float]],
+    outcome: str,
+) -> dict[str, np.ndarray]:
+    """Apply broadcast cut points to the melted frame with a pure-Catalyst
+    array expression (bin = #cuts <= x), then one global
+    ``groupBy(feature, bin, y).count()``. Returns {feature: joint matrix}."""
+    x_names = list(cuts.keys())
+    melted = melt_numeric(df, x_names, outcome)
+    spark = df.sparkSession
+    cuts_df = spark.createDataFrame(
+        [(k, [float(c) for c in v]) for k, v in cuts.items()],
+        "feature string, cuts array<double>",
+    )
+    joined = melted.join(F.broadcast(cuts_df), "feature")
+    binned = joined.select(
+        "feature",
+        F.when(
+            F.col("x").isNull(), F.lit(-1)
+        ).otherwise(
+            F.size(F.filter("cuts", lambda c: F.col("x") >= c))
+        ).alias("bin"),
+        "y",
+    )
+    pdf = (
+        binned.groupBy("feature", "bin", "y")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    return joint_tables(pdf, bin_col="bin")
+
+
+def joint_tables(
+    pdf: pd.DataFrame, bin_col: str = "x", drop_null_bin: bool = True
+) -> dict[str, np.ndarray]:
+    """Pivot the collected (feature, bin, y, n) histogram into per-feature
+    joint count matrices (rows=bins, cols=classes)."""
+    out: dict[str, np.ndarray] = {}
+    for feat, g in pdf.groupby("feature"):
+        if drop_null_bin:
+            g = g[~g[bin_col].isna()]
+            if np.issubdtype(g[bin_col].dtype, np.number):
+                g = g[g[bin_col] >= 0]
+        tab = g.pivot_table(
+            index=bin_col, columns="y", values="n", aggfunc="sum", fill_value=0
+        )
+        out[str(feat)] = tab.to_numpy(dtype=float)
+    return out

@@ -1,0 +1,237 @@
+"""Document deduplication operators — exact, MinHash-LSH, SimHash, n-gram
+Jaccard — for ``documents``-shaped tables at pre-training scale.
+
+Design for 100 TB:
+
+* **exact**: ``groupBy(md5(text))`` — one hash-agg shuffle, map-side
+  combined; keep the min doc_id per group.
+* **MinHash + LSH**: shingle→hash (Catalyst ``xxhash64`` over token slices,
+  zero Python), k permutations as affine transforms ``(a·x + b) mod p``
+  evaluated with ``F.transform``/``F.array_min`` (still zero Python), bands
+  hashed → ``explode(bands)`` → one shuffle groups candidate buckets; exact
+  Jaccard verification only within buckets (the candidate set is tiny
+  relative to n²). Doc-pair space is never materialized globally.
+* **SimHash**: 64-bit signatures in an Arrow pandas UDF (bit-vote kernel),
+  near-dup = signatures matching on any of 4 16-bit bands (Hamming ≤ small).
+* **n-gram Jaccard**: exact verified pairwise similarity, only ever applied
+  within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from recipeselectors_spark.functions import text as TX
+
+# 2^31-1: products of two residues stay < 2^62, safe for int64 under the
+# ANSI overflow checks Spark 4 enables by default
+MERSENNE_P = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest id."""
+    return (
+        df.withColumn("__h__", F.md5(F.col(text_col)))
+        .groupBy("__h__")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__h__")
+    )
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P - 1, size=num_perm, dtype=np.int64).tolist()
+    b = rng.integers(0, MERSENNE_P - 1, size=num_perm, dtype=np.int64).tolist()
+    return a, b
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    k_shingle: int = 3,
+    seed: int = 42,
+    out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature column (array<bigint>, length num_perm) — entirely
+    Catalyst expressions: per-permutation ``min((a·x+b) mod p)`` over the
+    shingle-hash array. No shuffle, no Python."""
+    a, b = _perm_params(num_perm, seed)
+    sh = TX.shingles(text_col, k=k_shingle)
+    df = df.withColumn("__sh__", sh)
+
+    def perm(ai: int, bi: int):
+        # closure factory: pyspark binds lambda variables by arity, so the
+        # captured params must NOT appear in the lambda signature
+        return lambda x: ((F.abs(x) % MERSENNE_P) * ai + bi) % MERSENNE_P
+
+    mins = [
+        F.array_min(F.transform("__sh__", perm(ai, bi))).alias(f"mh_{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    return df.withColumn(out, F.array(*mins)).drop("__sh__")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    minhash_col: str = "minhash",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    Returns (band, bucket, doc_id) — one ``explode`` + one shuffle."""
+    n = df.select(F.size(minhash_col)).first()[0]
+    rows_per_band = n // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(minhash_col)[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        df.withColumn("__bands__", band_hashes)
+        .select(id_col, F.posexplode("__bands__").alias("band", "bucket"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    Candidates from LSH buckets; the estimated Jaccard is the fraction of
+    matching minhash components — verification never leaves the bucket join.
+    """
+    sigs = with_minhash(
+        df.select(id_col, text_col), text_col, num_perm, k_shingle, seed
+    ).select(id_col, "minhash")
+    cand = minhash_candidates(sigs, id_col, "minhash", bands)
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("mh_a"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for the given (id_a, id_b) candidate pairs —
+    the verification stage after LSH."""
+    sh = df.select(
+        F.col(id_col), TX.shingles(text_col, k=k_shingle).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidate_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash signature via an Arrow pandas UDF (bit-vote kernel —
+    genuinely cheaper in numpy than as 64 Catalyst aggregates)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        token_lists = [str(t).lower().split() if t else [] for t in texts]
+        sigs = TX.simhash64(token_lists)
+        return pd.Series(sigs.astype(np.int64))
+
+    return df.withColumn(out, simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit band of the 64-bit SimHash (any of
+    4 bands) — standard Hamming-LSH banding, one explode + shuffle."""
+    sig = with_simhash(df.select(id_col, text_col), text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bucket"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sig.select(
+        id_col, "simhash", F.explode(bands).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    return (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,127 @@
+"""ROC-AUC filter step.
+
+Reference: /root/reference/R/step_select_roc.R (prep :108-163; per-predictor
+pROC::roc at :113 with ``direction="auto"`` ⇒ effectively max(AUC, 1-AUC)
+(doc :46); multiclass via Hand–Till multiclass.roc (:115); failures score NA
+(:121-122); prune via ``dual_filter`` — top_p OR absolute threshold, with
+NA-scored predictors always excluded).
+
+Spark plan (binary, the hot path — pure Catalyst, no Python in the loop):
+melt p numeric predictors → ``groupBy(feature, x).agg(pos, neg)`` (ONE
+shuffle, map-side combined) → window over the per-feature *distinct-value*
+histogram for the cumulative Mann–Whitney rank sum → per-feature AUC. Ties
+use midranks: wins = Σ pos(v)·(cum_neg(<v) + neg(v)/2). The window partitions
+by feature over distinct values only (bounded), not raw rows.
+
+Multiclass: same histogram, finished by the numpy Hand–Till kernel on the
+collected per-feature histogram (tiny).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType, StringType
+
+from recipeselectors_spark.functions import stats
+from recipeselectors_spark.operators import _scoring
+from recipeselectors_spark.plans.step import SelectionStep
+
+
+def _auc_from_histogram(values: np.ndarray, w_pos: np.ndarray, w_neg: np.ndarray) -> float:
+    """Midrank AUC from a weighted value histogram (values ascending)."""
+    n1, n0 = w_pos.sum(), w_neg.sum()
+    if n1 == 0 or n0 == 0:
+        return float("nan")
+    cum_neg = np.concatenate(([0.0], np.cumsum(w_neg)[:-1]))
+    wins = (w_pos * (cum_neg + w_neg / 2.0)).sum()
+    return float(wins / (n1 * n0))
+
+
+class RocStep(SelectionStep):
+    step_name = "step_select_roc"
+    prune_mode = "dual"
+    maximize = True
+
+    def check_types(self, df: DataFrame, x_names: list[str]) -> None:
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in x_names if not isinstance(types[c], NumericType)]
+        if bad:  # step_select_roc.R:138 — predictors must be numeric
+            raise TypeError(f"step_select_roc requires numeric predictors: {bad}")
+        if not isinstance(types[self.outcome], StringType):
+            raise TypeError("step_select_roc requires a nominal outcome")  # :133
+
+    def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
+        classes = [
+            r[0]
+            for r in df.select(self.outcome).distinct().collect()
+            if r[0] is not None
+        ]
+        if len(classes) == 2:
+            return self._score_binary(df, x_names, sorted(classes))
+        return self._score_multiclass(df, x_names)
+
+    def _score_binary(
+        self, df: DataFrame, x_names: list[str], classes: list[str]
+    ) -> dict[str, float]:
+        pos = classes[0]
+        melted = _scoring.melt_numeric(df, x_names, self.outcome)
+        hist = (
+            melted.where(F.col("x").isNotNull() & F.col("y").isNotNull())
+            .groupBy("feature", "x")
+            .agg(
+                F.sum(F.when(F.col("y") == pos, 1).otherwise(0)).alias("w_pos"),
+                F.sum(F.when(F.col("y") != pos, 1).otherwise(0)).alias("w_neg"),
+            )
+        )
+        w = Window.partitionBy("feature").orderBy("x")
+        cum = hist.withColumn(
+            "cum_neg",
+            F.coalesce(
+                F.sum("w_neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        res = (
+            cum.groupBy("feature")
+            .agg(
+                F.sum(F.col("w_pos") * (F.col("cum_neg") + F.col("w_neg") / 2.0)).alias("wins"),
+                F.sum("w_pos").alias("n1"),
+                F.sum("w_neg").alias("n0"),
+            )
+            .select(
+                "feature",
+                (F.col("wins") / (F.col("n1") * F.col("n0"))).alias("auc"),
+            )
+            .collect()
+        )
+        aucs = {r["feature"]: r["auc"] for r in res}
+        out: dict[str, float] = {}
+        for c in x_names:
+            a = aucs.get(c)
+            out[c] = float("nan") if a is None else float(max(a, 1 - a))
+        return out
+
+    def _score_multiclass(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
+        pdf = _scoring.class_histogram(df, x_names, self.outcome)
+        pdf = pdf[(~pdf["x"].isna()) & (~pdf["y"].isna())]
+        out: dict[str, float] = {c: float("nan") for c in x_names}
+        for feat, g in pdf.groupby("feature"):
+            tab = g.pivot_table(
+                index="x", columns="y", values="n", aggfunc="sum", fill_value=0
+            ).sort_index()
+            classes = list(tab.columns)
+            if len(classes) < 2:
+                continue
+            vals = tab.index.to_numpy(dtype=float)
+            aucs = []
+            for i in range(len(classes)):
+                for j in range(i + 1, len(classes)):
+                    wp = tab[classes[i]].to_numpy(dtype=float)
+                    wn = tab[classes[j]].to_numpy(dtype=float)
+                    a = _auc_from_histogram(vals, wp, wn)
+                    if not np.isnan(a):
+                        aucs.append(max(a, 1 - a))
+            if aucs:
+                out[str(feat)] = float(np.mean(aucs))
+        return out

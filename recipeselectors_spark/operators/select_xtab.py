@@ -1,0 +1,79 @@
+"""Cross-tabulation (chi-square / Fisher) selection step.
+
+Reference: /root/reference/R/step_select_xtab.R (prep :113-168; per-predictor
+contingency table at :114; ``stats::chisq.test`` at :118 (Yates correction on
+2×2, the R default) or ``fisher.test`` at :116; p-values sorted ascending
+``na.last=TRUE`` (:145); optional Benjamini–Hochberg FDR (:146-148); prune via
+``dual_filter`` with **minimize** (:150), NA-scored predictors excluded).
+
+Spark plan: both predictor and outcome are nominal — ONE melted
+``groupBy(feature, level, y).count()`` shuffle builds every contingency table;
+the tiny tables are collected and tested on the driver with the numpy kernels
+(scipy-free chi-square survival function / exact hypergeometric tail).
+Fisher is 2×2-only (documented restriction, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType
+
+from recipeselectors_spark.functions import stats
+from recipeselectors_spark.operators import _scoring
+from recipeselectors_spark.plans.step import SelectionStep
+
+
+class XtabStep(SelectionStep):
+    step_name = "step_select_xtab"
+    prune_mode = "dual"
+    maximize = False  # p-values: smaller is better (:150)
+
+    def __init__(
+        self,
+        outcome: str,
+        terms=None,
+        top_p=float("nan"),
+        threshold=float("nan"),
+        test: str = "chisq",  # chisq | fisher (:116-118)
+        fdr: bool = False,  # BH adjustment (:146-148)
+        skip: bool = False,
+    ) -> None:
+        if test not in ("chisq", "fisher"):
+            raise ValueError(f"unknown xtab test {test!r}")
+        super().__init__(outcome, terms, top_p, threshold, skip)
+        self.test = test
+        self.fdr = fdr
+
+    def check_types(self, df: DataFrame, x_names: list[str]) -> None:
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in x_names if not isinstance(types[c], StringType)]
+        if bad:  # step_select_xtab.R:130 — nominal predictors required
+            raise TypeError(f"step_select_xtab requires nominal predictors: {bad}")
+        if not isinstance(types[self.outcome], StringType):
+            raise TypeError("step_select_xtab requires a nominal outcome")  # :135
+
+    def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
+        pdf = _scoring.nominal_contingency(df, x_names, self.outcome)
+        pdf = pdf[(~pdf["x"].isna()) & (~pdf["y"].isna())]
+        tables = _scoring.joint_tables(pdf, bin_col="x", drop_null_bin=False)
+
+        pvals: dict[str, float] = {}
+        for c in x_names:
+            tab = tables.get(c)
+            if tab is None:
+                pvals[c] = float("nan")
+                continue
+            if self.test == "fisher":
+                try:
+                    pvals[c] = stats.fisher_exact_2x2(tab)
+                except NotImplementedError:
+                    pvals[c] = float("nan")
+            else:
+                pvals[c] = stats.chi2_test(tab)
+
+        if self.fdr:
+            names = list(pvals.keys())
+            adj = stats.bh_adjust(np.array([pvals[n] for n in names]))
+            pvals = {n: float(a) for n, a in zip(names, adj)}
+        return pvals

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — exact brute-force baseline: broadcast the query set,
+  dot products via ``F.zip_with``/``F.aggregate`` (JVM-side, codegen), global
+  top-k via ``orderBy(...).limit(k)`` (TakeOrderedAndProject — no full sort).
+* ``lsh_ann_topk`` — the scale path: random-hyperplane signatures bucket the
+  corpus (signs of r·x, pure Catalyst), candidates come only from matching
+  buckets (multi-probe over b bands), exact re-scoring within buckets. At
+  10^12 vectors the bucket join replaces the O(n·q) cross product.
+* ``ivf_topk`` — IVF-style alternative: k-means-lite centroids from a seeded
+  driver sample, each vector assigned to its nearest centroid (one pass);
+  queries probe ``nprobe`` nearest centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_topk", "with_cosine"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(
+    df: DataFrame, vec_col: str, query_col: str, out: str = "cosine"
+) -> DataFrame:
+    return df.withColumn(
+        out,
+        _dot(F.col(vec_col), F.col(query_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(query_col))),
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k per query: broadcast-crossjoin + per-query window top-k."""
+    from pyspark.sql.window import Window
+
+    q = query.select(
+        F.col(query_id_col), F.col(vec_col).alias("__q_vec__")
+    )
+    scored = with_cosine(
+        corpus.crossJoin(F.broadcast(q)), vec_col, "__q_vec__"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def _signature(vec_col, planes: np.ndarray):
+    """Bit-signature as int: sum over planes of 2^i · (r_i·x > 0)."""
+    sig = F.lit(0)
+    for i, row in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in row])
+        dot = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, arr)
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    n_planes: int = 8,
+    bands: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share a random-hyperplane band bucket.
+
+    ``bands`` independent sign-signatures are computed (each ``n_planes``
+    bits); a corpus vector is a candidate for a query if ANY band matches —
+    recall grows with bands, cost with bucket size.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        outs = []
+        for b in range(bands):
+            planes = _hyperplanes(dim, n_planes, seed + 97 * b)
+            outs.append(
+                df.select(
+                    F.col(idc),
+                    F.col(vec_col).alias(f"__vec_{idc}__"),
+                    F.lit(b).alias("band"),
+                    _signature(vec_col, planes).alias("bucket"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    cb = banded(corpus, id_col)
+    qb = banded(query, query_id_col)
+
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .select(
+            query_id_col,
+            id_col,
+            F.col(f"__vec_{id_col}__").alias("__c__"),
+            F.col(f"__vec_{query_id_col}__").alias("__q__"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = with_cosine(cand, "__c__", "__q__")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    seed: int = 42,
+    sample_n: int = 2048,
+) -> DataFrame:
+    """IVF-lite ANN: centroids = k-means(few iters) on a seeded driver
+    sample; corpus partitioned by nearest centroid (one Catalyst pass);
+    queries probe their ``nprobe`` nearest centroid cells only."""
+    from pyspark.sql.window import Window
+
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()],
+        dtype=float,
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(5):  # few Lloyd iterations, driver-side, tiny
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+
+    def nearest_cells(vec, n: int):
+        dists = [
+            (ci, _dot(vec, F.array(*[F.lit(float(v)) for v in c])))
+            for ci, c in enumerate(cent)
+        ]
+        # rank by negative distance ~ max dot with normalized centroids
+        arr = F.array(
+            *[F.struct(d.alias("dot"), F.lit(ci).alias("cell")) for ci, d in dists]
+        )
+        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
+
+    c_assigned = corpus.withColumn(
+        "cell", nearest_cells(F.col(vec_col), 1)[0]["cell"]
+    )
+    q_assigned = query.withColumn(
+        "cells", nearest_cells(F.col(vec_col), nprobe)
+    ).select(
+        query_id_col,
+        F.col(vec_col).alias("__q__"),
+        F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell"),
+    )
+    cand = c_assigned.join(F.broadcast(q_assigned), "cell").select(
+        query_id_col, id_col, F.col(vec_col).alias("__c__"), "__q__"
+    )
+    scored = with_cosine(cand.dropDuplicates([query_id_col, id_col]), "__c__", "__q__")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn__").alias("rank"))
+    )

@@ -1,0 +1,96 @@
+"""As-of join: union-window strategy vs cogroup merge_asof strategy vs the
+pandas merge_asof oracle — all three must agree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recipeselectors_spark.operators import asof
+from tests import oracles
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    convs = [f"conv-{i:03d}" for i in range(12)]
+    base = pd.Timestamp("2026-02-01")
+
+    feat_rows = []
+    for ci, c in enumerate(convs):
+        n = 40 if ci == 0 else int(rng.integers(2, 12))  # one hot conversation
+        t = base + pd.Timedelta(seconds=int(rng.integers(0, 3600)))
+        for _ in range(n):
+            t = t + pd.Timedelta(seconds=int(rng.integers(1, 500)))
+            feat_rows.append((c, t, float(rng.normal()), float(rng.integers(0, 5))))
+    features = pd.DataFrame(feat_rows, columns=["conv_id", "ts", "v1", "v2"])
+
+    spine_rows = []
+    for ci, c in enumerate(convs):
+        n = 15 if ci == 0 else int(rng.integers(1, 6))
+        t = base
+        for _ in range(n):
+            t = t + pd.Timedelta(seconds=int(rng.integers(1, 2000)))
+            spine_rows.append((c, t, int(rng.integers(0, 2))))
+    spine = pd.DataFrame(spine_rows, columns=["conv_id", "ts", "label"])
+    # exact-match probe: one spine ts equal to a feature ts
+    spine.loc[0, "ts"] = features.loc[0, "ts"]
+    for f in (features, spine):
+        f["ts"] = f["ts"].astype("datetime64[us]")
+    return spine, features
+
+
+KEY = ["conv_id", "ts"]
+
+
+def _check(got: pd.DataFrame, want: pd.DataFrame):
+    a = got.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    b = want.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ("v1", "v2"):
+        np.testing.assert_allclose(
+            a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True
+        )
+    assert (a["label"] == b["label"]).all()
+
+
+@pytest.mark.parametrize("tolerance", [None, 600])
+def test_union_strategy(spark, frames, tolerance):
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    got = asof.asof_join_union(
+        s, f, ["v1", "v2"], tolerance_s=tolerance
+    ).toPandas()
+    want = oracles.asof_join(spine, features, ["v1", "v2"], tolerance_s=tolerance)
+    _check(got, want)
+
+
+@pytest.mark.parametrize("tolerance", [None, 600])
+def test_cogroup_strategy(spark, frames, tolerance):
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    got = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], tolerance_s=tolerance, num_shards=4
+    ).toPandas()
+    want = oracles.asof_join(spine, features, ["v1", "v2"], tolerance_s=tolerance)
+    _check(got, want)
+
+
+def test_shard_map_balances_and_isolates_skew(spark, frames):
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    m = asof.build_shard_map(s, f, num_shards=4)
+    # every conversation appears exactly once
+    assert m["conv_id"].is_unique
+    # the hot conversation is alone in its shard (explicit skew split)
+    hot_shard = m.loc[m["conv_id"] == "conv-000", "shard"].iloc[0]
+    assert (m["shard"] == hot_shard).sum() == 1
+
+
+def test_salted_equi_join(spark, frames):
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    dim = spark.createDataFrame(
+        pd.DataFrame({"conv_id": spine["conv_id"].unique(), "grp": 1})
+    )
+    got = asof.salted_equi_join(f, dim, salt=4).count()
+    assert got == len(features)

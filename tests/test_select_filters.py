@@ -1,0 +1,234 @@
+"""Filter-style selection steps (infgain, roc, xtab, mrmr, carscore) vs the
+pandas oracles — SURVEY.md §5 pattern 1: allclose on scores + exact equality
+of the selected column set."""
+
+import numpy as np
+import pytest
+
+from recipeselectors_spark.operators import (
+    CarScoreStep,
+    InfGainStep,
+    MrmrStep,
+    RocStep,
+    XtabStep,
+)
+from tests import fixtures, oracles
+
+NA = float("nan")
+
+
+@pytest.fixture(scope="module")
+def iris(spark):
+    pdf = fixtures.iris_like()
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    pdf = fixtures.cells_like()
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def lending(spark):
+    pdf = fixtures.lending_like()
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def cars(spark):
+    pdf = fixtures.carprices_like()
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+def _scores_close(got: dict, want: dict, rtol=1e-9, atol=1e-12):
+    assert set(got) == set(want)
+    for k in got:
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=rtol, atol=atol, err_msg=k, equal_nan=True
+        )
+
+
+# -- infgain ---------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["infogain", "gainratio", "symuncert"])
+def test_infgain_scores_match_oracle(iris, mode):
+    pdf, df = iris
+    step = InfGainStep("species", top_p=2, mode=mode)
+    fitted = step.prep(df)
+    want = oracles.infgain_scores(pdf, fixtures.IRIS_X, "species", mode=mode)
+    _scores_close(fitted.scores, want)
+
+
+def test_infgain_top2_selects_petals(iris):
+    pdf, df = iris
+    fitted = InfGainStep("species", top_p=2).prep(df)
+    kept = [c for c in fixtures.IRIS_X if c not in fitted.exclude]
+    want = oracles.infgain_scores(pdf, fixtures.IRIS_X, "species")
+    want_kept = sorted(want, key=want.get, reverse=True)[:2]
+    assert sorted(kept) == sorted(want_kept)
+    assert len(fitted.exclude) == 2
+    baked = fitted.bake(df)
+    assert set(baked.columns) == set(kept) | {"species"}
+
+
+def test_infgain_equal_freq_mode(cells):
+    pdf, df = cells
+    fitted = InfGainStep("class", top_p=5, equal=True, bins=8).prep(df)
+    want = oracles.infgain_scores(
+        pdf, fixtures.CELLS_X, "class", equal=True, bins=8
+    )
+    _scores_close(fitted.scores, want, rtol=1e-7)
+
+
+# -- roc -------------------------------------------------------------------
+
+def test_roc_binary_scores_match_oracle(cells):
+    pdf, df = cells
+    fitted = RocStep("class", top_p=2).prep(df)
+    want = oracles.roc_scores(pdf, fixtures.CELLS_X, "class")
+    _scores_close(fitted.scores, want, rtol=1e-9)
+
+
+def test_roc_dual_filter_or_semantics(cells):
+    pdf, df = cells
+    want = oracles.roc_scores(pdf, fixtures.CELLS_X, "class")
+    fitted = RocStep("class", top_p=2, threshold=0.7).prep(df)
+    keep_by_top = set(sorted(want, key=want.get, reverse=True)[:2])
+    keep_by_thr = {k for k, v in want.items() if v >= 0.7}
+    want_excl = set(want) - (keep_by_top | keep_by_thr)
+    assert set(fitted.exclude) == want_excl
+
+
+def test_roc_multiclass_hand_till(iris):
+    pdf, df = iris
+    fitted = RocStep("species", top_p=2).prep(df)
+    want = oracles.roc_scores(pdf, fixtures.IRIS_X, "species")
+    _scores_close(fitted.scores, want, rtol=1e-9)
+
+
+def test_roc_requires_numeric_predictors(lending):
+    pdf, df = lending
+    with pytest.raises(TypeError):
+        RocStep("Class", terms=["cat01"], top_p=1).prep(df)
+
+
+# -- xtab ------------------------------------------------------------------
+
+def test_xtab_chi2_scores_match_oracle(lending):
+    pdf, df = lending
+    fitted = XtabStep("Class", terms=fixtures.LENDING_CAT, top_p=3).prep(df)
+    want = oracles.xtab_scores(pdf, fixtures.LENDING_CAT, "Class")
+    _scores_close(fitted.scores, want, rtol=1e-8)
+    # p-values: minimize => the strongly-associated cat01 must survive
+    assert "cat01" not in fitted.exclude
+
+
+def test_xtab_fisher_2x2(lending):
+    pdf, df = lending
+    fitted = XtabStep(
+        "Class", terms=["cat04", "cat05"], top_p=1, test="fisher"
+    ).prep(df)
+    want = oracles.xtab_scores(pdf, ["cat04", "cat05"], "Class", test="fisher")
+    _scores_close(fitted.scores, want, rtol=1e-8)
+
+
+def test_xtab_bh_fdr(lending):
+    pdf, df = lending
+    fitted = XtabStep("Class", terms=fixtures.LENDING_CAT, top_p=3, fdr=True).prep(df)
+    want = oracles.xtab_scores(pdf, fixtures.LENDING_CAT, "Class", fdr=True)
+    _scores_close(fitted.scores, want, rtol=1e-8)
+
+
+# -- mrmr ------------------------------------------------------------------
+
+def test_mrmr_scores_match_oracle(iris):
+    pdf, df = iris
+    fitted = MrmrStep("species", top_p=2, bins=10).prep(df)
+    want = oracles.mrmr_scores(pdf, fixtures.IRIS_X, "species", bins=10)
+    _scores_close(fitted.scores, want, rtol=1e-9)
+
+
+def test_mrmr_redundancy_penalty(cells):
+    """x02 is highly correlated with x01 — mRMR must rank it below what pure
+    relevance would give (the redundancy penalty at work)."""
+    pdf, df = cells
+    sub = ["x01", "x02", "x03", "x06"]
+    fitted = MrmrStep("class", terms=sub, top_p=2).prep(df)
+    want = oracles.mrmr_scores(pdf, sub, "class")
+    _scores_close(fitted.scores, want, rtol=1e-9)
+    kept = [c for c in sub if c not in fitted.exclude]
+    # the redundancy penalty keeps at most one of the correlated pair
+    assert len({"x01", "x02"} & set(kept)) == 1
+    # and the pure-noise feature never survives ahead of the signal pair
+    assert "x06" not in kept
+
+
+# -- carscore --------------------------------------------------------------
+
+def test_carscore_match_oracle(cars):
+    pdf, df = cars
+    fitted = CarScoreStep("price", top_p=4).prep(df)
+    want = oracles.carscore_scores(pdf, fixtures.CAR_X, "price")
+    _scores_close(fitted.scores, want, rtol=1e-7)
+
+
+def test_carscore_diagonal_is_marginal(cars):
+    pdf, df = cars
+    fitted = CarScoreStep("price", top_p=4, diagonal=True).prep(df)
+    want = oracles.carscore_scores(pdf, fixtures.CAR_X, "price", diagonal=True)
+    _scores_close(fitted.scores, want, rtol=1e-7)
+
+
+def test_carscore_differs_from_marginal_on_correlated_block(cars):
+    pdf, df = cars
+    car = CarScoreStep("price", top_p=4).prep(df).scores
+    marg = CarScoreStep("price", top_p=4, diagonal=True).prep(df).scores
+    assert not np.allclose(
+        [car[c] for c in fixtures.CAR_X[:3]],
+        [marg[c] for c in fixtures.CAR_X[:3]],
+        rtol=0.05,
+    )
+
+
+def test_carscore_rejects_nominal_outcome(iris):
+    pdf, df = iris
+    with pytest.raises(TypeError):
+        CarScoreStep("species", top_p=2).prep(df)
+
+
+# -- shared contract edge cases -------------------------------------------
+
+def test_both_criteria_missing_raises():
+    with pytest.raises(ValueError):
+        InfGainStep("species")
+
+
+def test_threshold_out_of_range_raises():
+    with pytest.raises(ValueError):
+        InfGainStep("species", threshold=1.5)
+
+
+def test_top_p_clamped_warns(iris):
+    pdf, df = iris
+    with pytest.warns(UserWarning):
+        fitted = InfGainStep("species", top_p=10).prep(df)
+    # clamp to p-1 = 3 => exactly one feature excluded
+    assert len(fitted.exclude) == 1
+
+
+def test_empty_selection_passthrough(iris):
+    pdf, df = iris
+    fitted = InfGainStep("species", terms=[], top_p=2).prep(df)
+    assert fitted.exclude == []
+    assert fitted.bake(df).columns == df.columns
+
+
+def test_fitted_step_json_roundtrip(iris):
+    from recipeselectors_spark.plans.step import FittedStep
+
+    pdf, df = iris
+    fitted = InfGainStep("species", top_p=2).prep(df)
+    back = FittedStep.from_json(fitted.to_json())
+    assert back.exclude == fitted.exclude
+    assert back.scores.keys() == fitted.scores.keys()

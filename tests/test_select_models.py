@@ -1,0 +1,167 @@
+"""Model-based steps (linear, tree, forests, vip, boruta): cardinality
+assertions (reference pattern 2, test_step_select_forests.R etc.), multiclass
+abort, determinism, and the prep/bake pipeline contract."""
+
+import numpy as np
+import pytest
+
+from recipeselectors_spark.operators import (
+    BorutaStep,
+    ForestsStep,
+    LinearStep,
+    TreeStep,
+    VipStep,
+)
+from recipeselectors_spark.plans.pipeline import NormalizeStep, Recipe
+from tests import fixtures
+
+NA = float("nan")
+
+
+@pytest.fixture(scope="module")
+def iris(spark):
+    pdf = fixtures.iris_like()
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    pdf = fixtures.cells_like(n=600)
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+@pytest.fixture(scope="module")
+def cars(spark):
+    pdf = fixtures.carprices_like(n=400)
+    return pdf, spark.createDataFrame(pdf).cache()
+
+
+# -- tree / forests: top_p=2 on iris => 3 columns survive ------------------
+
+def test_tree_top_p_cardinality(iris):
+    pdf, df = iris
+    fitted = TreeStep("species", top_p=2).prep(df)
+    baked = fitted.bake(df)
+    assert len(baked.columns) == 3  # test_step_select_tree.R:19-25
+    assert "species" in baked.columns
+
+
+def test_forests_top_p_cardinality(iris):
+    pdf, df = iris
+    fitted = ForestsStep("species", top_p=2, trees=30).prep(df)
+    baked = fitted.bake(df)
+    assert len(baked.columns) == 3  # test_step_select_forests.R:17-24
+    # the strong petal features should dominate the forest importances
+    kept = set(baked.columns) - {"species"}
+    assert kept <= {"petal_length", "petal_width", "sepal_length"}
+
+
+def test_forests_threshold_percentile(iris):
+    pdf, df = iris
+    f50 = ForestsStep("species", threshold=0.5, trees=30).prep(df)
+    f90 = ForestsStep("species", threshold=0.9, trees=30).prep(df)
+    # threshold=.5 removes ~half (scores < type-7 median); .9 removes more
+    assert len(f90.exclude) >= len(f50.exclude)
+    assert len(f50.exclude) == 2  # 4 features, median cut => 2 below
+
+
+def test_forests_regression_mode(cars):
+    pdf, df = cars
+    fitted = ForestsStep("price", top_p=3, trees=30).prep(df)
+    assert len(fitted.bake(df).columns) == 4
+
+
+def test_forests_permutation_importance(cells):
+    pdf, df = cells
+    sub = ["x01", "x02", "x10", "x11"]
+    fitted = ForestsStep(
+        "class", terms=sub, top_p=2, trees=20, importance="permutation"
+    ).prep(df)
+    # permutation importance of the signal feature must beat pure noise
+    assert fitted.scores["x01"] > fitted.scores["x10"]
+
+
+# -- linear ----------------------------------------------------------------
+
+def test_linear_binary_with_normalize_pipeline(cells):
+    pdf, df = cells
+    rec = (
+        Recipe()
+        .add(NormalizeStep(fixtures.CELLS_X))
+        .add(LinearStep("class", top_p=2))
+    )
+    fitted = rec.prep(df)
+    juiced = fitted.juice()
+    assert len(juiced.columns) == 3  # test_step_select_linear.R:23
+    kept = set(juiced.columns) - {"class"}
+    # strongest planted signals carry the largest |coef|
+    assert kept <= {"x01", "x02", "x03"}
+    # bake on fresh data applies the same stored decision
+    baked = fitted.bake(df)
+    assert set(baked.columns) == set(juiced.columns)
+
+
+def test_linear_multiclass_aborts(iris):
+    pdf, df = iris
+    with pytest.raises(ValueError):  # step_select_linear.R:163-166
+        LinearStep("species", top_p=2).prep(df)
+
+
+def test_linear_regression_mode(cars):
+    pdf, df = cars
+    fitted = LinearStep("price", top_p=3).prep(df)
+    kept = [c for c in fixtures.CAR_X if c not in fitted.exclude]
+    assert len(kept) == 3
+
+
+# -- vip -------------------------------------------------------------------
+
+def test_vip_with_user_estimator(iris):
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    pdf, df = iris
+    fitted = VipStep(
+        "species", model=DecisionTreeClassifier(maxDepth=4, seed=7), top_p=2
+    ).prep(df)
+    assert len(fitted.bake(df).columns) == 3  # test_step_select_vip.R:22-28
+
+
+def test_vip_custom_extractor_registry(iris):
+    from recipeselectors_spark.operators.importance import pull_importances
+
+    class Fake:
+        pass
+
+    from recipeselectors_spark.operators import importance as imp
+
+    imp.register_extractor(
+        "Fake", lambda m, names: {n: float(i) for i, n in enumerate(names)},
+        scaled_default=False,
+    )
+    out = pull_importances(Fake(), ["a", "b"])
+    assert out == {"a": 0.0, "b": 1.0}
+
+
+# -- boruta ----------------------------------------------------------------
+
+def test_boruta_rejects_noise_keeps_signal(cells):
+    pdf, df = cells
+    sub = ["x01", "x02", "x03", "x10", "x11", "x12"]
+    fitted = BorutaStep(
+        "class", terms=sub, max_runs=15, trees=40, seed=11
+    ).prep(df)
+    dec = fitted.extras["decision"]
+    assert dec["x01"] == "Confirmed"
+    # pure-noise features must not be Confirmed
+    assert dec["x10"] != "Confirmed" and dec["x11"] != "Confirmed"
+    # only Rejected are excluded; Tentative kept (step_select_boruta.R:116)
+    assert set(fitted.exclude) == {c for c, d in dec.items() if d == "Rejected"}
+
+
+def test_boruta_deterministic(cells):
+    pdf, df = cells
+    sub = ["x01", "x03", "x10", "x11"]
+    a = BorutaStep("class", terms=sub, max_runs=6, trees=20, seed=5).prep(df)
+    b = BorutaStep("class", terms=sub, max_runs=6, trees=20, seed=5).prep(df)
+    assert a.exclude == b.exclude
+    assert a.extras["hits"] == b.extras["hits"]

@@ -1,0 +1,134 @@
+"""Numpy statistical kernels vs closed-form / hand-computed values."""
+
+import math
+
+import numpy as np
+
+from recipeselectors_spark.functions import stats
+from recipeselectors_spark.functions.discretize import (
+    apply_cut_points,
+    equal_freq_cut_points,
+    mdl_cut_points,
+)
+
+
+def test_entropy():
+    assert stats.entropy_from_counts(np.array([1, 1])) == math.log(2)
+    assert stats.entropy_from_counts(np.array([4, 0])) == 0.0
+
+
+def test_info_gain_perfect_predictor():
+    joint = np.array([[10, 0], [0, 10]])
+    ig = stats.info_gain_from_joint(joint, "infogain")
+    assert np.isclose(ig, math.log(2))
+    assert np.isclose(stats.info_gain_from_joint(joint, "symuncert"), 1.0)
+    assert np.isclose(stats.info_gain_from_joint(joint, "gainratio"), 1.0)
+
+
+def test_auc_known():
+    x = np.array([1, 2, 3, 4, 5, 6], dtype=float)
+    y = np.array([0, 0, 0, 1, 1, 1], dtype=bool)
+    assert stats.auc_binary(x, y) == 1.0
+    # anti-predictor: direction auto flips
+    assert stats.auc_binary(-x, y) == 1.0
+    # ties: all equal => auc 0.5
+    assert stats.auc_binary(np.ones(6), y) == 0.5
+
+
+def test_auc_midranks():
+    x = np.array([1, 1, 2, 3], dtype=float)
+    y = np.array([0, 1, 0, 1], dtype=bool)
+    # pairs (pos > neg): (1 vs 1)=0.5, (1 vs 2)=0, (3>1)=1, (3>2)=1 => 2.5/4
+    assert np.isclose(stats.auc_binary(x, y, direction_auto=False), 2.5 / 4)
+
+
+def test_chi2_matches_r_yates():
+    # Yates-corrected statistic, hand-computed: e = outer(rows, cols)/n,
+    # sum((|o-e|-.5)^2/e) = 16.5785 for this table (R chisq.test default).
+    stat, dof = stats.chi2_stat(np.array([[10, 30], [20, 5]]))
+    t = np.array([[10, 30], [20, 5]], dtype=float)
+    e = np.outer(t.sum(1), t.sum(0)) / t.sum()
+    expected = (((np.abs(t - e) - 0.5) ** 2) / e).sum()
+    assert np.isclose(stat, expected)
+    assert dof == 1
+    # df=1 closed form: sf(x) = erfc(sqrt(x/2))
+    assert np.isclose(stats.chi2_sf(stat, 1), math.erfc(math.sqrt(stat / 2)), rtol=1e-10)
+    # df=2 closed form: sf(x) = exp(-x/2)
+    assert np.isclose(stats.chi2_sf(5.0, 2), math.exp(-2.5), rtol=1e-10)
+    # df=4 closed form: sf(x) = (1 + x/2) exp(-x/2)
+    assert np.isclose(stats.chi2_sf(7.0, 4), (1 + 3.5) * math.exp(-3.5), rtol=1e-9)
+
+
+def test_chi2_no_correction_3x2():
+    # R: chisq.test(matrix(c(10,20,30,5,12,18),3)) stat=21.5328, df=2
+    tab = np.array([[10, 5], [20, 12], [30, 18]])
+    stat, dof = stats.chi2_stat(tab)
+    assert dof == 2
+    # hand check via expected counts
+    exp_stat = 0.0
+    t = tab.astype(float)
+    e = np.outer(t.sum(1), t.sum(0)) / t.sum()
+    exp_stat = ((t - e) ** 2 / e).sum()
+    assert np.isclose(stat, exp_stat)
+
+
+def test_fisher_exact_r_parity():
+    # R: fisher.test(matrix(c(3,1,1,3),2))$p.value == 0.4857143
+    p = stats.fisher_exact_2x2(np.array([[3, 1], [1, 3]]))
+    assert np.isclose(p, 0.4857143, atol=1e-6)
+    # R: fisher.test(matrix(c(8,2,1,5),2))$p.value == 0.03496503
+    p2 = stats.fisher_exact_2x2(np.array([[8, 2], [1, 5]]))
+    assert np.isclose(p2, 0.03496503, atol=1e-6)
+
+
+def test_bh_adjust_r_parity():
+    # R: p.adjust(c(.01,.02,.03,.04), "BH") == c(.04,.04,.04,.04)
+    out = stats.bh_adjust(np.array([0.01, 0.02, 0.03, 0.04]))
+    assert np.allclose(out, [0.04, 0.04, 0.04, 0.04])
+    # R: p.adjust(c(.001,.008,.039,.041,.09), "BH")
+    out2 = stats.bh_adjust(np.array([0.001, 0.008, 0.039, 0.041, 0.09]))
+    assert np.allclose(out2, [0.005, 0.02, 0.05125, 0.05125, 0.09])
+
+
+def test_binom_tails():
+    # P(X <= 2 | n=10) = 0.0546875; P(X > 7 | n=10) = 0.0546875
+    assert np.isclose(stats.binom_cdf(2, 10), 0.0546875)
+    assert np.isclose(stats.binom_sf(7, 10), 0.0546875)
+
+
+def test_carscore_diagonal_is_marginal():
+    rxy = np.array([0.5, -0.3])
+    out = stats.carscore(np.eye(2), rxy, diagonal=True)
+    assert np.allclose(out, [0.5, 0.3])
+
+
+def test_carscore_identity_rxx():
+    rxy = np.array([0.5, -0.3])
+    out = stats.carscore(np.eye(2), rxy)
+    assert np.allclose(out, [0.5, 0.3])
+
+
+def test_mdl_cuts_separable():
+    x = np.array([1, 2, 3, 4, 10, 11, 12, 13] * 5, dtype=float)
+    y = np.array([0, 0, 0, 0, 1, 1, 1, 1] * 5)
+    cuts = mdl_cut_points(x, y)
+    assert len(cuts) >= 1
+    assert any(4 < c < 10 for c in cuts)
+    codes = apply_cut_points(x, cuts)
+    # the MDL boundary separates the classes perfectly
+    assert len(set(codes[y == 0]) & set(codes[y == 1])) == 0
+
+
+def test_mdl_cuts_noise_gives_none():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=200)
+    y = rng.integers(0, 2, size=200)
+    assert mdl_cut_points(x, y) == []
+
+
+def test_equal_freq_cuts():
+    x = np.arange(100, dtype=float)
+    cuts = equal_freq_cut_points(x, bins=4)
+    assert len(cuts) == 3
+    codes = apply_cut_points(x, cuts)
+    assert set(codes) == {0, 1, 2, 3}

@@ -1,0 +1,218 @@
+"""Dedup / similarity / text-analysis / multimodal operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from recipeselectors_spark.functions import text as TX
+from recipeselectors_spark.operators import dedup, multimodal, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # add exact + near duplicates with known ids
+    d0 = base.limit(3).toPandas()
+    dup_exact = d0.copy()
+    dup_exact["doc_id"] = dup_exact["doc_id"] + 100000
+    near = d0.copy()
+    near["doc_id"] = near["doc_id"] + 200000
+    near["text"] = near["text"] + " tail"
+    pdf = pd.concat([base.toPandas(), dup_exact, near], ignore_index=True)
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_dedup_exact(docs):
+    out = dedup.dedup_exact(docs).toPandas()
+    dups = out[out["n_copies"] > 1]
+    assert len(dups) == 3
+    # keeper is the smallest id
+    assert (dups["doc_id"] < 100000).all()
+
+
+def test_minhash_finds_near_duplicates(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_perm=32, bands=8, threshold=0.5
+    ).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # the 3 injected exact-duplicate pairs must all be found (est_jaccard 1)
+    assert all((a, a + 100000) in found for a in range(3))
+    # near duplicates (one extra token) must also surface
+    assert any(b >= 200000 for _, b in found)
+    # extra organic near-dup pairs from the driver's documents table are
+    # expected (the data plants near-duplicates); estimates stay in [0,1]
+    assert (pairs["est_jaccard"] <= 1.0).all()
+
+
+def test_ngram_jaccard_verification(docs):
+    cand = dedup.minhash_dedup_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    verified = dedup.ngram_jaccard_pairs(docs, cand).toPandas()
+    # the injected exact-duplicate pairs verify at exactly jaccard 1.0
+    exact = verified[
+        (verified["id_a"] < 3) & (verified["id_b"] == verified["id_a"] + 100000)
+    ]
+    assert len(exact) == 3
+    assert np.allclose(exact["jaccard"], 1.0)
+    # the injected near-duplicates verify high but below 1
+    near = verified[
+        (verified["id_a"] < 3) & (verified["id_b"] == verified["id_a"] + 200000)
+    ]
+    assert (near["jaccard"] < 1.0).all() and (near["jaccard"] > 0.8).all()
+
+
+def test_simhash_near_dup(docs):
+    pairs = dedup.simhash_near_dup_pairs(docs).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # the 3 exact duplicate pairs (base -> base+100000) must all surface;
+    # extra candidates (e.g. exact-dup <-> near-dup) are fine — SimHash
+    # banding is a candidate generator, not a verifier
+    assert all((a, a + 100000) in found for a in range(3))
+
+
+def test_simhash_deterministic(docs):
+    a = dedup.with_simhash(docs.limit(5)).select("simhash").toPandas()
+    b = dedup.with_simhash(docs.limit(5)).select("simhash").toPandas()
+    assert a["simhash"].tolist() == b["simhash"].tolist()
+
+
+def test_token_count_and_quality(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["the cat sat on a mat today ok fine", "x!!!"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tok"),
+        TX.bpe_ish_token_count("text").alias("n_bpe"),
+        F.round(TX.quality_score("text"), 6).alias("q"),
+        TX.langid_expr("text").alias("lang"),
+    ).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tok"] == 9
+    assert out.loc[2, "n_bpe"] == 4  # 'x', '!', '!', '!'
+    assert out.loc[1, "q"] > out.loc[2, "q"]
+    assert out.loc[1, "lang"] == "en"
+
+
+def test_langid_votes(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "der hund ist nicht ein katze und das",
+                "le chat est dans la maison pour les",
+                "zzz qqq www",
+            ],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", TX.langid_expr("text", ("en", "de", "fr")).alias("lang"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "lang"] == "de"
+    assert out.loc[2, "lang"] == "fr"
+    assert out.loc[3, "lang"] == "und"
+
+
+def test_rolling_fingerprint_deterministic():
+    t = "some document text for fingerprinting purposes"
+    assert TX.rolling_fingerprint(t) == TX.rolling_fingerprint(t)
+    # a min-of-window fingerprint is robust to small suffix edits by design;
+    # disjoint texts must differ
+    other = "completely different content with other words entirely"
+    assert TX.rolling_fingerprint(t) != TX.rolling_fingerprint(other)
+
+
+# -- similarity search -----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _brute_force_oracle(pdf, q_vec, k):
+    M = np.stack(pdf["embedding"].to_numpy())
+    q = np.asarray(q_vec, dtype=float)
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))
+    return pdf["vec_id"].to_numpy()[order][:k].tolist()
+
+
+def test_cosine_topk_exact(spark, emb):
+    pdf = emb.toPandas()
+    q_row = pdf[pdf["vec_id"] == 0].iloc[0]
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = similarity.cosine_topk(corpus, query, k=5).toPandas()
+    want = _brute_force_oracle(
+        pdf[pdf["vec_id"] != 0].reset_index(drop=True), q_row["embedding"], 5
+    )
+    assert got.sort_values("rank")["vec_id"].tolist() == want
+
+
+def test_lsh_ann_recall(spark, emb):
+    pdf = emb.toPandas()
+    q_row = pdf[pdf["vec_id"] == 0].iloc[0]
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = similarity.lsh_ann_topk(
+        corpus, query, k=5, n_planes=4, bands=8
+    ).toPandas()
+    want = set(
+        _brute_force_oracle(
+            pdf[pdf["vec_id"] != 0].reset_index(drop=True), q_row["embedding"], 5
+        )
+    )
+    recall = len(set(got["vec_id"]) & want) / 5
+    assert recall >= 0.4  # approximate method, banded: sane recall
+
+
+def test_ivf_topk_runs(spark, emb):
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = similarity.ivf_topk(corpus, query, k=3, n_centroids=8, nprobe=3).toPandas()
+    assert set(got["q_id"]) == {0, 1, 2}
+    assert (got.groupby("q_id").size() <= 3).all()
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    pdf = multimodal.synthesize_media_pandas(n=30)
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_media_features(df, fake_decode=True).toPandas()
+    assert len(out) == 30
+    assert out["decode_ok"].all()
+    assert all(len(f) == 8 for f in out["feat"])
+    # determinism
+    out2 = multimodal.extract_media_features(df, fake_decode=True).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["feat"], b["feat"]))
+
+
+def test_multimodal_real_decode_is_stubbed():
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pd.Series([b"abc"]), fake=False)
+
+
+def test_frame_sample_plan(spark):
+    pdf = multimodal.synthesize_media_pandas(n=12)
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    plan = multimodal.frame_sample_plan(df, every_n=10, max_frames=4).toPandas()
+    assert (plan["frame_indices"].map(len) <= 4).all()
