@@ -118,6 +118,8 @@ def select_percentile(
     R type-7 quantile of the score vector.
     """
     ok, _na = _split_na(scores)
+    if not ok:  # every score NaN => nothing to rank, nothing removed
+        return []
     names = np.array(list(ok.keys()))
     vals = np.array(list(ok.values()), dtype=float)
 

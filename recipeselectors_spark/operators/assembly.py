@@ -57,10 +57,17 @@ def assemble_features(
         "f_roll_mean_len",
         F.avg("f_text_len").over(w.rowsBetween(-(rolling_n - 1), 0)),
     )
-    df = W.with_session_id(df, gap_seconds=session_gap_s, out="__sess__")
-    sess_w = Window.partitionBy("conv_id", "__sess__").orderBy(*W.ORDER)
+    # sessionize + turn-within-session on the SAME conv_id partitioning
+    # (f_sess_turn = rows since the latest session start), so no extra
+    # (conv_id, session) exchange is needed
+    gap = W.epoch_s("ts") - F.lag(W.epoch_s("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > session_gap_s), 1).otherwise(0)
+    df = df.withColumn("__rn__", F.row_number().over(w)).withColumn(
+        "__sess_start__",
+        F.max(F.when(new_sess == 1, F.col("__rn__"))).over(cum),
+    )
     df = df.withColumn(
-        "f_sess_turn", (F.row_number().over(sess_w) - 1).cast("double")
+        "f_sess_turn", (F.col("__rn__") - F.col("__sess_start__")).cast("double")
     )
     df = df.withColumn(
         "f_tool_seen",
@@ -72,10 +79,10 @@ def assemble_features(
         "f_is_assistant", (F.col("role") == "assistant").cast("double")
     )
     df = df.withColumn(
-        "f_turn_in_conv", (F.row_number().over(w) - 1).cast("double")
+        "f_turn_in_conv", (F.col("__rn__") - 1).cast("double")
     )
 
     out_cols = ["conv_id", "turn_idx", "ts"] + FEATURE_COLS
     if outcome_col:
         out_cols.append(outcome_col)
-    return df.select(*out_cols).drop("__sess__")
+    return df.select(*out_cols)

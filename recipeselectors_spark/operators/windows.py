@@ -107,13 +107,20 @@ def with_session_id(
 
 
 def dedup_turns(df: DataFrame, partition: str = CONV) -> DataFrame:
-    """Drop duplicate (conv_id, turn_idx) rows keeping the first under stable
-    (ts, turn_idx) ordering — SURVEY.md §2.4 ranking/dedup."""
-    w = Window.partitionBy(partition, "turn_idx").orderBy("ts")
+    """Drop duplicate (conv_id, turn_idx) rows keeping the first (smallest
+    ts) — SURVEY.md §2.4 ranking/dedup.
+
+    Implemented as a lag over the *conversation-level* partition ordered by
+    (turn_idx, ts): a row is a duplicate iff it repeats the previous row's
+    turn_idx. Same result as a per-(conv, turn) row_number, but it shares the
+    conv_id hash partitioning with every downstream window — Catalyst reuses
+    ONE exchange for the whole assembly instead of one per partition key."""
+    w = Window.partitionBy(partition).orderBy("turn_idx", "ts")
+    dup = F.lag("turn_idx").over(w) == F.col("turn_idx")
     return (
-        df.withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") == 1)
-        .drop("__rn__")
+        df.withColumn("__dup__", F.coalesce(dup, F.lit(False)))
+        .where(~F.col("__dup__"))
+        .drop("__dup__")
     )
 
 

@@ -102,6 +102,75 @@ def synthesize_transcripts(spark: SparkSession, **kwargs) -> DataFrame:
     return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
 
 
+def synthesize_transcripts_distributed(
+    spark: SparkSession,
+    n_convs: int = 100_000,
+    mean_turns: int = 40,
+    seed: int = 42,
+    hot_convs: int = 3,
+    hot_factor: int = 50,
+    session_every: int = 13,
+    start: str = "2026-01-01",
+) -> DataFrame:
+    """Deterministic transcript synthesis as a pure Catalyst plan — no
+    driver-side row loop, so it generates at memory bandwidth and the same
+    recipe would generate the 10^12-turn table on a cluster.
+
+    Pseudo-randomness is ``xxhash64(conv, turn, seed)`` based: same seed =>
+    byte-identical table at any parallelism. Conversation lengths vary
+    around ``mean_turns`` with ``hot_convs`` skewed conversations
+    (``hot_factor``×) to exercise salting; timestamps are strictly
+    increasing per conversation with a session gap every ``session_every``
+    turns.
+    """
+    h = lambda *cols: F.xxhash64(*cols, F.lit(seed))
+    convs = spark.range(n_convs).select(
+        F.concat(F.lit("conv-"), F.format_string("%08d", "id")).alias("conv_id"),
+        F.col("id").alias("cid"),
+    )
+    n_turns = (
+        F.when(F.col("cid") < hot_convs, mean_turns * hot_factor)
+        .otherwise(F.pmod(h(F.col("cid")), F.lit(2 * mean_turns)) + 1)
+    )
+    words = F.lit(
+        " ".join(_WORDS) + " " + " ".join(reversed(_WORDS))
+    )
+    t = convs.select(
+        "conv_id",
+        "cid",
+        F.explode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx"),
+    )
+    rnd = F.pmod(h(F.col("cid"), F.col("turn_idx")), F.lit(1000))
+    role = (
+        F.when(rnd < 150, "tool")
+        .when(F.col("turn_idx") % 2 == 0, "user")
+        .otherwise("assistant")
+    )
+    tool = F.when(
+        rnd < 200, F.element_at(F.array(*[F.lit(x) for x in _TOOLS]), (rnd % 5 + 1).cast("int"))
+    )
+    text_len = (rnd % 120 + 12).cast("int")
+    ts = F.to_timestamp(F.lit(start)) + F.make_dt_interval(
+        days=F.lit(0),
+        hours=F.lit(0),
+        mins=F.lit(0),
+        secs=(
+            F.pmod(h(F.col("cid"), F.lit(-1)), F.lit(90 * 86400))  # conv start
+            + F.col("turn_idx") * 41
+            + F.pmod(rnd, F.lit(20))
+            + F.floor(F.col("turn_idx") / session_every) * 7200
+        ).cast("double"),
+    )
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.substring(words, (rnd % 40 + 1).cast("int"), text_len).alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
 def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     """Read the transcript table from an Iceberg table name or parquet path."""
     if "/" in source or source.endswith(".parquet"):
