@@ -538,6 +538,34 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex BPE-ish pre-tokenizer count (JVM regexp, no Python)."""
+    from recipeselectors_spark.functions import text as TX
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH + exact verify."""
+    from recipeselectors_spark.operators import dedup as D
+
+    # random test embeddings have no true near-dups at high thresholds;
+    # 0.3 exercises the LSH-candidate + exact-verify path with real output
+    return D.embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.3, n_planes=6, bands=6
+    ).withColumn("cosine", F.round("cosine", 5))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from recipeselectors_spark.operators import dedup as D
+
+    return D.with_fingerprint(_documents(spark, sf_dir)).select(
+        "doc_id", "fingerprint"
+    )
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipeselectors_spark.operators import similarity as S
 
@@ -583,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "langid": q_langid,
         "lsh_ann": q_lsh_ann,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_dedup": q_embedding_dedup,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -688,4 +719,10 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "cosine_topk": _COSINE_ORACLE,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
     }

@@ -189,6 +189,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    generate candidates (pure Catalyst sign-signatures, one explode+shuffle),
+    exact cosine verifies within buckets — the vector analogue of
+    MinHash-LSH, never materializing the n² pair space."""
+    from recipeselectors_spark.operators import similarity as S
+
+    dim = len(df.select(vec_col).first()[0])
+    sigs = []
+    for b in range(bands):
+        planes = S._hyperplanes(dim, n_planes, seed + 31 * b)
+        sigs.append(
+            df.select(
+                id_col,
+                F.col(vec_col).alias("__v__"),
+                F.lit(b).alias("band"),
+                S._signature(vec_col, planes).alias("bucket"),
+            )
+        )
+    banded = sigs[0]
+    for s in sigs[1:]:
+        banded = banded.unionByName(s)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__v__").alias("__va__"),
+            F.col("b.__v__").alias("__vb__"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = S.with_cosine(cand, "__va__", "__vb__")
+    return scored.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint",
+    window: int = 16,
+) -> DataFrame:
+    """Rolling-hash (winnowing-style min-of-window) document fingerprint as
+    an Arrow pandas UDF — robust to small local edits, deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [TX.rolling_fingerprint(str(t) if t is not None else "", window)
+             for t in texts],
+            dtype="int64",
+        )
+
+    return df.withColumn(out, fp(F.col(text_col)))
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out: str = "simhash"
 ) -> DataFrame:

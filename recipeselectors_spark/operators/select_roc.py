@@ -43,6 +43,20 @@ class RocStep(SelectionStep):
     prune_mode = "dual"
     maximize = True
 
+    def __init__(
+        self,
+        outcome: str,
+        terms=None,
+        top_p=float("nan"),
+        threshold=float("nan"),
+        direction: str = "auto",  # 'auto' => max(AUC, 1-AUC) (:46); 'fixed'
+        skip: bool = False,       # keeps the raw AUC of the first class
+    ) -> None:
+        if direction not in ("auto", "fixed"):
+            raise ValueError(f"unknown roc direction {direction!r}")
+        super().__init__(outcome, terms, top_p, threshold, skip)
+        self.direction = direction
+
     def check_types(self, df: DataFrame, x_names: list[str]) -> None:
         types = {f.name: f.dataType for f in df.schema.fields}
         bad = [c for c in x_names if not isinstance(types[c], NumericType)]
@@ -99,7 +113,12 @@ class RocStep(SelectionStep):
         out: dict[str, float] = {}
         for c in x_names:
             a = aucs.get(c)
-            out[c] = float("nan") if a is None else float(max(a, 1 - a))
+            if a is None:
+                out[c] = float("nan")
+            elif self.direction == "auto":
+                out[c] = float(max(a, 1 - a))
+            else:
+                out[c] = float(a)
         return out
 
     def _score_multiclass(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
@@ -121,7 +140,7 @@ class RocStep(SelectionStep):
                     wn = tab[classes[j]].to_numpy(dtype=float)
                     a = _auc_from_histogram(vals, wp, wn)
                     if not np.isnan(a):
-                        aucs.append(max(a, 1 - a))
+                        aucs.append(max(a, 1 - a) if self.direction == "auto" else a)
             if aucs:
                 out[str(feat)] = float(np.mean(aucs))
         return out

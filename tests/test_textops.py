@@ -216,3 +216,42 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
     plan = multimodal.frame_sample_plan(df, every_n=10, max_frames=4).toPandas()
     assert (plan["frame_indices"].map(len) <= 4).all()
+
+
+def test_embedding_near_dup(spark, emb):
+    import pandas as pd
+
+    pdf = emb.toPandas()
+    dup = pdf.head(3).copy()
+    dup["vec_id"] = dup["vec_id"] + 10000  # exact copies => cosine 1.0
+    df = spark.createDataFrame(pd.concat([pdf, dup], ignore_index=True))
+    pairs = dedup.embedding_near_dup_pairs(
+        df, threshold=0.99, n_planes=6, bands=6
+    ).toPandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    # identical vectors share every LSH bucket => always candidates
+    assert all((a, a + 10000) in found for a in range(3))
+    assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_fingerprint_column(docs):
+    out = dedup.with_fingerprint(docs.limit(10)).toPandas()
+    assert out["fingerprint"].notna().all()
+    again = dedup.with_fingerprint(docs.limit(10)).toPandas()
+    assert out.sort_values("doc_id")["fingerprint"].tolist() == \
+        again.sort_values("doc_id")["fingerprint"].tolist()
+
+
+def test_roc_direction_fixed(spark):
+    import pandas as pd
+
+    from recipeselectors_spark.operators import RocStep
+
+    pdf = pd.DataFrame(
+        {"x": [1.0, 2, 3, 4, 5, 6], "y": ["a", "a", "a", "b", "b", "b"]}
+    )
+    df = spark.createDataFrame(pdf)
+    auto = RocStep("y", top_p=1).prep(df).scores["x"]
+    fixed = RocStep("y", top_p=1, direction="fixed").prep(df).scores["x"]
+    # class 'a' (first) has LOW x => raw AUC 0, auto flips to 1
+    assert auto == 1.0 and fixed == 0.0
