@@ -21,8 +21,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# plain-python invocation from anywhere: make the repo importable
+# (under spark-submit --py-files the zip on PYTHONPATH already provides it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -34,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rolling-n", type=int, default=5)
     p.add_argument("--sample-frac", type=float, default=None,
                    help="sample fraction for the shard-map count pass (use at 10^12 scale)")
+    p.add_argument("--max-concurrent", type=int, default=4,
+                   help="concurrent shard jobs (driver thread pool)")
     p.add_argument("--no-resume", action="store_true",
                    help="ignore existing manifests and recompute everything")
     args = p.parse_args(argv)
@@ -48,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     tx = T.read_transcripts(spark, args.input)
 
     if args.no_resume:
-        import shutil, os
+        import shutil
         shutil.rmtree(os.path.join(args.output, "_manifests"), ignore_errors=True)
 
     manifests = ckpt.run_sharded(
@@ -60,6 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         num_shards=args.shards,
         source_desc=args.input,
         sample_frac=args.sample_frac,
+        max_concurrent=args.max_concurrent,
     )
     total_rows = sum(m["n_rows"] for m in manifests)
     wall = round(time.time() - t0, 2)

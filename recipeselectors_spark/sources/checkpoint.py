@@ -64,11 +64,18 @@ def run_sharded(
     on: str = "conv_id",
     source_desc: str = "",
     sample_frac: float | None = None,
+    max_concurrent: int = 4,
 ) -> list[dict]:
     """Apply ``transform`` shard-by-shard with checkpoint/resume.
 
-    Returns the list of shard manifests (existing + newly written).
+    Up to ``max_concurrent`` shard jobs run at once via a driver-side thread
+    pool — Spark's scheduler interleaves concurrent jobs across executors, so
+    a shard whose tasks underfill the cluster doesn't leave cores idle, while
+    checkpoint granularity stays per-shard. Returns the list of shard
+    manifests (existing + newly written).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = transcripts.sparkSession
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
 
@@ -80,18 +87,17 @@ def run_sharded(
     tagged = transcripts.join(shard_df, on, "inner")
 
     done = completed_shards(out_dir)
-    manifests: list[dict] = []
-    for shard in sorted(shard_pdf["shard"].unique()):
-        mpath = _manifest_path(out_dir, int(shard))
-        if int(shard) in done:
+
+    def run_one(shard: int) -> dict:
+        mpath = _manifest_path(out_dir, shard)
+        if shard in done:
             with open(mpath) as fh:
-                manifests.append(json.load(fh))
-            continue
+                return json.load(fh)
 
         t0 = time.time()
-        part = tagged.where(F.col("shard") == int(shard)).drop("shard")
+        part = tagged.where(F.col("shard") == shard).drop("shard")
         out = transform(part)
-        shard_dir = os.path.join(out_dir, f"shard={int(shard)}")
+        shard_dir = os.path.join(out_dir, f"shard={shard}")
         out.write.mode("overwrite").parquet(shard_dir)
 
         written = spark.read.parquet(shard_dir)
@@ -100,11 +106,9 @@ def run_sharded(
             aggs += [F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")]
         stats_row = written.agg(*aggs).collect()[0].asDict()
 
-        convs = sorted(
-            shard_pdf.loc[shard_pdf["shard"] == shard, on].tolist()
-        )
+        convs = sorted(shard_pdf.loc[shard_pdf["shard"] == shard, on].tolist())
         manifest = {
-            "shard": int(shard),
+            "shard": shard,
             "status": "complete",
             "engine_version": __version__,
             "source": source_desc,
@@ -119,8 +123,13 @@ def run_sharded(
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, mpath)  # atomic completion marker
-        manifests.append(manifest)
-    return manifests
+        return manifest
+
+    shards = sorted(int(s) for s in shard_pdf["shard"].unique())
+    if max_concurrent <= 1:
+        return [run_one(s) for s in shards]
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        return list(pool.map(run_one, shards))
 
 
 def read_sharded(spark, out_dir: str) -> DataFrame:
