@@ -440,6 +440,61 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
 """
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spine filtering via leftsemi/leftanti (SURVEY.md §2.4 Joins): events
+    of users who purchased, and users who never clicked."""
+    ev = _events(spark, sf_dir)
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    semi = ev.join(buyers, "user_id", "leftsemi").groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    anti = ev.join(clickers, "user_id", "leftanti").select("user_id").distinct()
+    return semi.join(anti.withColumn("never_clicked", F.lit(1)), "user_id", "left").select(
+        "user_id", "n_events", F.coalesce("never_clicked", F.lit(0)).alias("never_clicked")
+    )
+
+
+_SEMI_ORACLE = """
+WITH semi_side AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events e
+  WHERE EXISTS (SELECT 1 FROM events p
+                WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+  GROUP BY user_id
+),
+anti_side AS (
+  SELECT DISTINCT user_id FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM events c
+                    WHERE c.user_id = e.user_id AND c.event_type = 'click')
+)
+SELECT s.user_id, s.n_events,
+       CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS never_clicked
+FROM semi_side s LEFT JOIN anti_side a USING (user_id)
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-payload JSON parsing (F.from_json over props — SURVEY.md §2.4
+    scalar functions) + per-user aggregate of the extracted field."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k int")["k"]
+    )
+    return parsed.groupBy("user_id").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.col("k")).alias("n_parsed"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT user_id,
+       SUM(CAST(json_extract(props, '$.k') AS int)) AS sum_k,
+       COUNT(json_extract(props, '$.k')) AS n_parsed
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible operators — driver records a weaker
 # rows-only check; full oracles live in tests/ against pandas/numpy)
@@ -591,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "topk_per_user": q_topk_per_user,
         "dedup_turns": q_dedup_turns,
+        "semi_join": q_semi_join,
+        "json_extract": q_json_extract,
         "asof_union": q_asof_union,
         "asof_cogroup": q_asof_cogroup,
         "roc_auc": q_roc_auc,
@@ -691,6 +748,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE rn = 1
         """,
+        "semi_join": _SEMI_ORACLE,
+        "json_extract": _JSON_ORACLE,
         "asof_union": _ASOF_ORACLE,
         "asof_cogroup": _ASOF_ORACLE,
         "roc_auc": _ROC_ORACLE,

@@ -10,3 +10,4 @@ from recipeselectors_spark.operators.select_tree import TreeStep  # noqa: F401
 from recipeselectors_spark.operators.select_forests import ForestsStep  # noqa: F401
 from recipeselectors_spark.operators.select_vip import VipStep  # noqa: F401
 from recipeselectors_spark.operators.select_boruta import BorutaStep  # noqa: F401
+from recipeselectors_spark.operators.select_custom import CustomScoreStep  # noqa: F401

@@ -232,3 +232,38 @@ def test_fitted_step_json_roundtrip(iris):
     back = FittedStep.from_json(fitted.to_json())
     assert back.exclude == fitted.exclude
     assert back.scores.keys() == fitted.scores.keys()
+
+
+# -- custom scoring kernel (user extension surface) -------------------------
+
+def test_custom_score_step_matches_local_kernel(cells):
+    import numpy as np
+
+    from recipeselectors_spark.operators import CustomScoreStep
+
+    def abs_corr(x, y):
+        yv = (y == y.sort_values().iloc[0]).astype(float)
+        return float(abs(np.corrcoef(x.astype(float), yv)[0, 1]))
+
+    pdf, df = cells
+    sub = ["x01", "x03", "x10", "x11"]
+    fitted = CustomScoreStep("class", abs_corr, terms=sub, top_p=2).prep(df)
+    for c in sub:
+        want = abs_corr(pdf[c], pdf["class"])
+        np.testing.assert_allclose(fitted.scores[c], want, rtol=1e-9)
+    kept = [c for c in sub if c not in fitted.exclude]
+    assert "x01" in kept  # strongest planted signal survives
+
+
+def test_custom_score_kernel_failure_gives_nan(cells):
+    from recipeselectors_spark.operators import CustomScoreStep
+
+    def boom(x, y):
+        raise RuntimeError("kernel failure")
+
+    pdf, df = cells
+    fitted = CustomScoreStep("class", boom, terms=["x01", "x02"], top_p=1).prep(df)
+    import math
+
+    assert all(math.isnan(v) for v in fitted.scores.values())
+    assert fitted.exclude == []  # NaN kept by select_percentile (misc.R:80)
