@@ -88,7 +88,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
     )
-    return sess.groupBy("user_id", "session_id").agg(
+    return sess.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), ROUND).alias("sum_value"),
     )
@@ -130,7 +132,7 @@ def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("user_id", "event_id", "value", "rn")
+        .select("user_id", "event_id", "value", F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -379,8 +381,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-        F.length("text").alias("n_chars_computed"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
     )
 
 
@@ -451,7 +453,9 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = ev.where(F.col("event_type") == "click").select("user_id")
     anti = ev.join(clickers, "user_id", "leftanti").select("user_id").distinct()
     return semi.join(anti.withColumn("never_clicked", F.lit(1)), "user_id", "left").select(
-        "user_id", "n_events", F.coalesce("never_clicked", F.lit(0)).alias("never_clicked")
+        "user_id",
+        "n_events",
+        F.coalesce("never_clicked", F.lit(0)).cast("bigint").alias("never_clicked"),
     )
 
 
@@ -469,7 +473,7 @@ anti_side AS (
                     WHERE c.user_id = e.user_id AND c.event_type = 'click')
 )
 SELECT s.user_id, s.n_events,
-       CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS never_clicked
+       CAST(CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS bigint) AS never_clicked
 FROM semi_side s LEFT JOIN anti_side a USING (user_id)
 """
 
@@ -482,14 +486,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.from_json(F.col("props"), "k int")["k"]
     )
     return parsed.groupBy("user_id").agg(
-        F.sum("k").alias("sum_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
         F.count(F.col("k")).alias("n_parsed"),
     )
 
 
 _JSON_ORACLE = """
 SELECT user_id,
-       SUM(CAST(json_extract(props, '$.k') AS int)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS int)) AS bigint) AS sum_k,
        COUNT(json_extract(props, '$.k')) AS n_parsed
 FROM events GROUP BY user_id
 """
@@ -598,7 +602,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipeselectors_spark.functions import text as TX
 
     return _documents(spark, sf_dir).select(
-        "doc_id", TX.bpe_ish_token_count("text").alias("n_bpe_tokens")
+        "doc_id", TX.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens")
     )
 
 
@@ -705,10 +709,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, value,
-                     SUM(new_sess) OVER (PARTITION BY user_id
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                       AS session_id
+                       AS bigint) AS session_id
               FROM g
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -727,8 +731,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_events,
                    COUNT(DISTINCT event_type) AS n_types,
                    ROUND(AVG(length(props)), {ROUND}) AS avg_props_len,
-                   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
-                     AS n_purchases,
+                   CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+                     AS bigint) AS n_purchases,
                    MIN(ts) AS first_ts, MAX(ts) AS last_ts
             FROM events GROUP BY user_id
         """,

@@ -72,15 +72,31 @@ def run_bench() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # flagship assembly throughput (turns/sec) over the events-derived table
+    # flagship assembly timing over the events-derived table (sf-scaled)
     from recipeselectors_spark.operators import assembly
     from recipeselectors_spark.sources import transcripts as T
 
     tx = T.events_as_transcripts(spark, SF_DIR).drop("value")
     t0 = time.time()
-    n_turns = assembly.assemble_features(tx).count()
+    assembly.assemble_features(tx).count()
     dt = time.time() - t0
     timings["assemble_features"] = round(dt, 3)
+    total += dt
+
+    # turns/sec at a measurement-worthy size: the deterministic distributed
+    # synthesizer at ~4M turns, cached, warm run timed (the events table at
+    # sf<=0.1 is far too small — per-job overhead would dominate)
+    big = T.synthesize_transcripts_distributed(
+        spark, n_convs=100_000, mean_turns=40, seed=42
+    ).cache()
+    big.count()
+    fm = assembly.assemble_features(big)
+    fm.count()  # warm-up
+    t0 = time.time()
+    n_turns = fm.count()
+    dt = time.time() - t0
+    big.unpersist()
+    timings["assemble_4m_turns"] = round(dt, 3)
     total += dt
 
     print(
