@@ -79,6 +79,39 @@ def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-fill: next purchase value from the current row onward."""
+    ev = _events(spark, sf_dir).withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("pv", ignorenulls=True).over(w).alias("purchase_bfill"),
+    )
+
+
+def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute time-range rolling aggregate (rangeBetween)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_10min"),
+        F.round(F.sum("value").over(w), ROUND).alias("sum_10min"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -645,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
         "ffill": q_ffill,
+        "bfill": q_bfill,
+        "rolling_time": q_rolling_time,
         "sessionize": q_sessionize,
         "rolling_mean": q_rolling_mean,
         "rollup": q_rollup,
@@ -751,6 +786,23 @@ def oracle_sql() -> dict[str, str]:
                        date_trunc('minute', ts) ORDER BY ts, event_id) AS rn
               FROM events
             ) WHERE rn = 1
+        """,
+        "bfill": """
+            SELECT user_id, event_id,
+                   FIRST_VALUE(CASE WHEN event_type='purchase' THEN value END
+                     IGNORE NULLS) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS purchase_bfill
+            FROM events
+        """,
+        "rolling_time": f"""
+            SELECT user_id, event_id,
+                   COUNT(*) OVER w AS n_10min,
+                   ROUND(SUM(value) OVER w, {ROUND}) AS sum_10min
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         "semi_join": _SEMI_ORACLE,
         "json_extract": _JSON_ORACLE,

@@ -36,9 +36,12 @@ class XtabStep(SelectionStep):
         top_p=float("nan"),
         threshold=float("nan"),
         test: str = "chisq",  # chisq | fisher (:116-118)
+        exact: bool | None = None,  # reference's param name (:115): True=Fisher
         fdr: bool = False,  # BH adjustment (:146-148)
         skip: bool = False,
     ) -> None:
+        if exact is not None:
+            test = "fisher" if exact else "chisq"
         if test not in ("chisq", "fisher"):
             raise ValueError(f"unknown xtab test {test!r}")
         super().__init__(outcome, terms, top_p, threshold, skip)
