@@ -104,7 +104,28 @@ def run_sharded(
         aggs = [F.count("*").alias("n_rows")]
         if "ts" in written.columns:
             aggs += [F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")]
+        # per-shard score metrics (north rule): mean + null count of every
+        # double-typed feature column, one agg pass
+        from pyspark.sql.types import DoubleType
+
+        score_cols = [
+            fld.name for fld in written.schema.fields
+            if isinstance(fld.dataType, DoubleType)
+        ]
+        for c in score_cols:
+            aggs += [
+                F.avg(c).alias(f"avg__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"),
+            ]
         stats_row = written.agg(*aggs).collect()[0].asDict()
+        score_metrics = {
+            c: {
+                "mean": None if stats_row[f"avg__{c}"] is None
+                else round(float(stats_row[f"avg__{c}"]), 6),
+                "nulls": int(stats_row[f"nulls__{c}"]),
+            }
+            for c in score_cols
+        }
 
         convs = sorted(shard_pdf.loc[shard_pdf["shard"] == shard, on].tolist())
         manifest = {
@@ -117,6 +138,7 @@ def run_sharded(
             "n_rows": int(stats_row["n_rows"]),
             "min_ts": str(stats_row.get("min_ts")),
             "max_ts": str(stats_row.get("max_ts")),
+            "score_metrics": score_metrics,
             "wall_seconds": round(time.time() - t0, 3),
         }
         tmp = mpath + ".tmp"

@@ -80,3 +80,16 @@ def test_lineage_log(tmp_path):
     ckpt.lineage_log(out, {"shard": 2, "rows": 20})
     lines = open(os.path.join(out, "lineage.jsonl")).read().splitlines()
     assert [json.loads(l)["shard"] for l in lines] == [1, 2]
+
+
+def test_manifest_score_metrics(spark, tx, tmp_path):
+    out = str(tmp_path / "metrics_run")
+    manifests = ckpt.run_sharded(
+        tx, out, assembly.assemble_features, num_shards=2
+    )
+    m = manifests[0]
+    assert "score_metrics" in m
+    assert "f_text_len" in m["score_metrics"]
+    assert m["score_metrics"]["f_text_len"]["mean"] > 0
+    # lag1 has exactly one null per conversation in this shard
+    assert m["score_metrics"]["f_lag1_len"]["nulls"] == m["n_convs"]
