@@ -1,0 +1,63 @@
+"""Bucketed storage removes the conv_id exchange from downstream plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recipeselectors_spark.sources import bucketed, transcripts as T
+
+
+@pytest.fixture(scope="module")
+def bucketed_table(spark, tmp_path_factory):
+    tx = T.synthesize_transcripts_distributed(
+        spark, n_convs=200, mean_turns=10, seed=3
+    )
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed")
+    bucketed.write_bucketed(tx, "tx_bucketed", buckets=8)
+    yield "tx_bucketed"
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_table):
+    tbl = bucketed.read_bucketed(spark, bucketed_table)
+    agg = tbl.groupBy("conv_id").agg(F.count("*").alias("n"))
+    assert not bucketed.plan_has_exchange(agg)
+    # and the unbucketed equivalent DOES shuffle
+    plain = spark.createDataFrame(tbl.toPandas())
+    agg2 = plain.groupBy("conv_id").agg(F.count("*").alias("n"))
+    assert bucketed.plan_has_exchange(agg2)
+
+
+def test_bucketed_join_co_located(spark, bucketed_table):
+    """Two tables bucketed the same way join without a shuffle."""
+    tbl = bucketed.read_bucketed(spark, bucketed_table)
+    spark.sql("DROP TABLE IF EXISTS tx_rollup_bucketed")
+    rollup = tbl.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    bucketed.write_bucketed(
+        rollup, "tx_rollup_bucketed", buckets=8, sort_cols=()
+    )
+    try:
+        right = bucketed.read_bucketed(spark, "tx_rollup_bucketed")
+        # disable broadcast so the co-located sort-merge path is what's planned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = tbl.join(right, "conv_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() == tbl.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tx_rollup_bucketed")
+
+
+def test_bucketed_roundtrip_values(spark, bucketed_table):
+    tbl = bucketed.read_bucketed(spark, bucketed_table)
+    orig = T.synthesize_transcripts_distributed(
+        spark, n_convs=200, mean_turns=10, seed=3
+    )
+    assert tbl.count() == orig.count()
+    a = tbl.agg(F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))).collect()[0][0]
+    b = orig.agg(F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))).collect()[0][0]
+    assert a == b
