@@ -801,7 +801,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER w AS n_10min,
                    ROUND(SUM(value) OVER w, {ROUND}) AS sum_10min
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         """,
         "semi_join": _SEMI_ORACLE,

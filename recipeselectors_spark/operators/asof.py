@@ -10,21 +10,23 @@ Spark has no native as-of join (SURVEY.md §2.4 "Joins"). Two strategies:
 
 * ``asof_join_cogroup`` — the general scalable form the north rule names
   ("sorted-merge over range-partitioned, salt-balanced conv_id shards"):
-  a driver-side shard map packs conversations into balanced shards by row
-  count (hot conversations get dedicated shards — explicit skew split;
-  conversations are never split across shards, preserving whole-conversation
-  locality that as-of correctness requires), the map is broadcast-joined to
-  both sides, and each shard is sorted-merged with ``pandas.merge_asof``
-  inside ``cogroup(...).applyInPandas`` (Arrow-vectorized, no per-row
-  Python). Supports tolerance and arbitrary value columns.
+  shard = ``pmod(xxhash64(conv_id), N)`` computed DISTRIBUTED (no driver
+  map of the conversation universe), with hot conversations detected by a
+  distributed count filter and overridden to dedicated shards via a bounded
+  broadcast map (≤ N/skew_factor keys) — explicit skew split; conversations
+  are never split across shards, preserving the whole-conversation locality
+  that as-of correctness requires. Each shard is sorted-merged with
+  ``pandas.merge_asof`` inside ``cogroup(...).applyInPandas``
+  (Arrow-vectorized, no per-row Python). Supports tolerance and arbitrary
+  value columns.
 
-At 10^12 turns the shard map is computed from approximate per-conversation
-counts (a seeded sample) — only *balance* depends on it, never correctness.
+At 10^12 turns the driver holds only the hot-key map (bounded by shard
+count, not data size); ``sample_frac`` bounds the hot-detection count cost
+and affects balance only, never shard membership.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -87,7 +89,7 @@ def asof_join_union(
     return out.where(F.col("__side__") == 1).drop("__side__")
 
 
-def build_shard_map(
+def hot_conv_shards(
     left: DataFrame,
     right: DataFrame,
     num_shards: int,
@@ -96,13 +98,20 @@ def build_shard_map(
     seed: int = 42,
     skew_factor: float = 2.0,
 ) -> pd.DataFrame:
-    """Greedy balanced bin-packing of conversations into shards by row count.
+    """Detect HOT conversations and give each a dedicated shard id.
 
-    Conversations whose count exceeds ``skew_factor × (total/num_shards)``
-    are isolated into dedicated shards (explicit skew split). Returns a small
-    pandas frame (conv_id, shard). With ``sample_frac`` the counts come from
-    a seeded sample — at 10^12 rows balance is approximate, correctness is
-    unaffected (every conversation still maps to exactly one shard).
+    The default shard assignment is ``pmod(xxhash64(conv_id), num_shards)``
+    computed distributed (see :func:`with_shard`) — the driver never sees the
+    conversation universe. This function only finds the skewed tail: convs
+    whose row count exceeds ``skew_factor × (total/num_shards)``. The filter
+    runs DISTRIBUTED; only qualifying keys reach the driver, so the returned
+    frame is bounded by ``num_shards/skew_factor`` rows regardless of input
+    size (defensively capped at 4×num_shards). Each hot conv gets shard id
+    ``num_shards + rank`` (rank by count desc, conv asc — deterministic).
+
+    ``sample_frac`` bounds the counting cost at extreme scale; it affects
+    only which convs are *detected* as hot (balance), never shard membership
+    — unsampled conversations simply keep their hash shard.
     """
     l = left.select(on) if sample_frac is None else left.select(on).sample(
         fraction=sample_frac, seed=seed
@@ -110,33 +119,46 @@ def build_shard_map(
     r = right.select(on) if sample_frac is None else right.select(on).sample(
         fraction=sample_frac, seed=seed
     )
-    counts = (
-        l.unionByName(r).groupBy(on).agg(F.count("*").alias("n")).toPandas()
+    counts = l.unionByName(r).groupBy(on).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    cap = skew_factor * total / max(num_shards, 1)
+    hot = (
+        counts.where(F.col("n") > F.lit(float(cap)))
+        .orderBy(F.col("n").desc(), F.col(on))
+        .limit(4 * num_shards)
+        .toPandas()
     )
-    counts = counts.sort_values(["n", on], ascending=[False, True]).reset_index(
-        drop=True
-    )
-    total = counts["n"].sum()
-    cap = total / max(num_shards, 1)
-
-    shard_of: dict[str, int] = {}
-    loads: list[float] = []
-    for conv, n in zip(counts[on], counts["n"]):
-        if n > skew_factor * cap or not loads:
-            if n > skew_factor * cap:
-                shard_of[conv] = len(loads)
-                loads.append(float(n))
-                continue
-        # greedy: lightest shard among the regular pool
-        if len(loads) < num_shards:
-            shard_of[conv] = len(loads)
-            loads.append(float(n))
-        else:
-            i = int(np.argmin(loads))
-            shard_of[conv] = i
-            loads[i] += float(n)
     return pd.DataFrame(
-        {on: list(shard_of.keys()), "shard": list(shard_of.values())}
+        {on: hot[on].tolist(), "shard": [num_shards + i for i in range(len(hot))]}
+    )
+
+
+def with_shard(
+    df: DataFrame,
+    num_shards: int,
+    hot_pdf: pd.DataFrame | None = None,
+    on: str = CONV,
+) -> DataFrame:
+    """Add a ``shard`` column: hash-partitioned by conversation, hot convs
+    overridden to their dedicated shards via a (bounded) broadcast join.
+
+    Deterministic across runs (xxhash64 is seed-stable) and identical for any
+    two frames sharing conv ids — both sides of a join land on the same
+    shard. A fresh DataFrame is built from ``hot_pdf`` per call so two inputs
+    derived from one scan never share broadcast lineage (ambiguous-self-join
+    trap, see ``asof_join_cogroup._fresh``).
+    """
+    base = F.pmod(F.xxhash64(F.col(on)), F.lit(num_shards)).cast("int")
+    if hot_pdf is None or len(hot_pdf) == 0:
+        return df.withColumn("shard", base)
+    spark = df.sparkSession
+    hot = F.broadcast(
+        spark.createDataFrame(hot_pdf.rename(columns={"shard": "__hot_shard__"}))
+    )
+    return (
+        df.join(hot, on, "left")
+        .withColumn("shard", F.coalesce(F.col("__hot_shard__").cast("int"), base))
+        .drop("__hot_shard__")
     )
 
 
@@ -156,23 +178,20 @@ def asof_join_cogroup(
     if num_shards is None:
         num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    shard_pdf = build_shard_map(
+    hot_pdf = hot_conv_shards(
         spine, features, num_shards, on=on, sample_frac=sample_frac
     )
-    # two independent map frames: both sides often share lineage (derived
-    # from the same scan), and a shared broadcast frame would trip Spark's
-    # ambiguous-self-join analysis inside the cogroup
-    shard_l = F.broadcast(spark.createDataFrame(shard_pdf))
-    shard_r = F.broadcast(spark.createDataFrame(shard_pdf.copy()))
 
     def _fresh(df: DataFrame) -> DataFrame:
         # re-alias every column: fresh expression IDs, so two sides sharing
         # one scan don't trip the ambiguous-self-join analysis in the cogroup
         return df.select([F.col(c).alias(c) for c in df.columns])
 
-    s = _fresh(spine).join(shard_l, on, "left").fillna({"shard": -1})
+    # with_shard builds an independent broadcast frame per call, so the two
+    # sides never share lineage even when derived from the same scan
+    s = with_shard(_fresh(spine), num_shards, hot_pdf, on=on)
     feats = _fresh(features.select(on, ts, *value_cols))
-    f = feats.join(shard_r, on, "left").fillna({"shard": -1})
+    f = with_shard(feats, num_shards, hot_pdf, on=on)
 
     spine_fields = [fld for fld in spine.schema.fields]
     out_schema_parts = [f"`{fld.name}` {fld.dataType.simpleString()}" for fld in spine_fields]

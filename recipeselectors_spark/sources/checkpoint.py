@@ -3,9 +3,11 @@
 North rule: "resumable from per-partition checkpoints with lineage +
 row-count/score metrics emitted per shard" (BASELINE.json). Design:
 
-* the conversation space is packed into N balanced shards with the same
-  salt-balanced shard map as the as-of join (operators/asof.py —
-  conversations never split, hot conversations isolated);
+* the conversation space is hash-partitioned into N shards distributed
+  (``pmod(xxhash64(conv_id), N)``) with hot conversations isolated into
+  dedicated shards via a bounded broadcast override — same machinery as the
+  as-of join (operators/asof.py); conversations are never split and no
+  driver-side map of the conversation universe exists;
 * each shard is materialized by its own Spark job to
   ``<out>/shard=<k>/`` parquet, followed by an atomically-renamed manifest
   ``<out>/_manifests/shard-<k>.json`` holding lineage (input source, shard
@@ -28,11 +30,10 @@ import os
 import time
 from collections.abc import Callable
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from recipeselectors_spark import __version__
-from recipeselectors_spark.operators.asof import build_shard_map
+from recipeselectors_spark.operators.asof import hot_conv_shards, with_shard
 
 
 def _manifest_path(out_dir: str, shard: int) -> str:
@@ -79,20 +80,48 @@ def run_sharded(
     spark = transcripts.sparkSession
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
 
-    shard_pdf = build_shard_map(
+    # Shard membership = pmod(xxhash64(conv_id), N) computed DISTRIBUTED for
+    # every conversation (hash default + bounded hot-key override) — sampling
+    # only tunes which convs are detected hot; no conversation can be dropped
+    # and the driver never materializes the conversation universe.
+    hot_pdf = hot_conv_shards(
         transcripts, transcripts.limit(0), num_shards, on=on,
         sample_frac=sample_frac,
     )
-    shard_df = F.broadcast(spark.createDataFrame(shard_pdf))
-    tagged = transcripts.join(shard_df, on, "inner")
+    tagged = with_shard(transcripts, num_shards, hot_pdf, on=on)
+
+    # One bounded-output job: per-shard conv count + order-independent
+    # deterministic digest (sum of xxhash64 over DISTINCT conv ids, summed as
+    # decimal(38,0) — ANSI-safe). Used for lineage AND verified on resume:
+    # a completed shard is only skipped if its recorded conv-set digest still
+    # matches the current shard map (guards against --shards/input changes).
+    digest_pdf = (
+        tagged.select("shard", on)
+        .distinct()
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.sum(F.xxhash64(F.col(on)).cast("decimal(38,0)")).alias("digest"),
+        )
+        .toPandas()
+    )
+    shard_digest = {
+        int(r["shard"]): (int(r["n_convs"]), str(r["digest"]))
+        for _, r in digest_pdf.iterrows()
+    }
 
     done = completed_shards(out_dir)
 
     def run_one(shard: int) -> dict:
         mpath = _manifest_path(out_dir, shard)
+        n_convs, digest = shard_digest.get(shard, (0, "0"))
         if shard in done:
             with open(mpath) as fh:
-                return json.load(fh)
+                m = json.load(fh)
+            # skip only if the shard's conv set is unchanged under the
+            # current map — otherwise recompute (stale checkpoint)
+            if m.get("convs_hash") == digest:
+                return m
 
         t0 = time.time()
         part = tagged.where(F.col("shard") == shard).drop("shard")
@@ -127,14 +156,13 @@ def run_sharded(
             for c in score_cols
         }
 
-        convs = sorted(shard_pdf.loc[shard_pdf["shard"] == shard, on].tolist())
         manifest = {
             "shard": shard,
             "status": "complete",
             "engine_version": __version__,
             "source": source_desc,
-            "n_convs": len(convs),
-            "convs_hash": hex(abs(hash(tuple(convs))))[2:18],
+            "n_convs": n_convs,
+            "convs_hash": digest,
             "n_rows": int(stats_row["n_rows"]),
             "min_ts": str(stats_row.get("min_ts")),
             "max_ts": str(stats_row.get("max_ts")),
@@ -147,7 +175,7 @@ def run_sharded(
         os.replace(tmp, mpath)  # atomic completion marker
         return manifest
 
-    shards = sorted(int(s) for s in shard_pdf["shard"].unique())
+    shards = sorted(set(range(num_shards)) | set(shard_digest))
     if max_concurrent <= 1:
         return [run_one(s) for s in shards]
     with ThreadPoolExecutor(max_workers=max_concurrent) as pool:

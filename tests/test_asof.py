@@ -78,12 +78,42 @@ def test_cogroup_strategy(spark, frames, tolerance):
 def test_shard_map_balances_and_isolates_skew(spark, frames):
     spine, features = frames
     s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
-    m = asof.build_shard_map(s, f, num_shards=4)
-    # every conversation appears exactly once
-    assert m["conv_id"].is_unique
-    # the hot conversation is alone in its shard (explicit skew split)
-    hot_shard = m.loc[m["conv_id"] == "conv-000", "shard"].iloc[0]
-    assert (m["shard"] == hot_shard).sum() == 1
+    hot = asof.hot_conv_shards(s, f, num_shards=4, skew_factor=1.0)
+    # the hot conversation is detected and gets a DEDICATED shard (>= N)
+    assert "conv-000" in set(hot["conv_id"])
+    hot_shard = hot.loc[hot["conv_id"] == "conv-000", "shard"].iloc[0]
+    assert hot_shard >= 4
+    # the driver-side map is bounded by the hot-key count, NOT the conv count
+    assert len(hot) < 12
+
+    tagged = asof.with_shard(f, 4, hot, on="conv_id").toPandas()
+    # every row got exactly one shard; conversations are never split
+    assert tagged["shard"].notna().all()
+    assert (tagged.groupby("conv_id")["shard"].nunique() == 1).all()
+    # hot conv rides alone on its dedicated shard
+    hot_rows = tagged[tagged["shard"] == hot_shard]
+    assert set(hot_rows["conv_id"]) == {"conv-000"}
+
+
+def test_with_shard_deterministic_and_complete(spark, frames):
+    spine, features = frames
+    s = spark.createDataFrame(spine)
+    a = asof.with_shard(s, 8).toPandas().sort_values(["conv_id", "ts"])
+    b = asof.with_shard(s, 8).toPandas().sort_values(["conv_id", "ts"])
+    assert (a["shard"].to_numpy() == b["shard"].to_numpy()).all()
+    assert a["shard"].between(0, 7).all()
+
+
+def test_cogroup_sample_frac_drops_nothing(spark, frames):
+    """ADVICE r1 (high): a sampled shard map must never drop conversations —
+    sampling tunes hot detection only, membership is hash-based."""
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    got = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], num_shards=4, sample_frac=0.05
+    ).toPandas()
+    want = oracles.asof_join(spine, features, ["v1", "v2"])
+    _check(got, want)
 
 
 def test_salted_equi_join(spark, frames):

@@ -74,6 +74,48 @@ def test_determinism_two_full_runs(spark, tx, tmp_path):
     pd.testing.assert_frame_equal(pa, pb)
 
 
+def test_sampled_run_drops_no_conversations(spark, tx, tmp_path):
+    """ADVICE r1 (high): sample_frac must affect balance only — every
+    conversation still lands in exactly one shard of the output."""
+    out = str(tmp_path / "sampled")
+    ckpt.run_sharded(
+        tx, out, assembly.assemble_features, num_shards=4, sample_frac=0.1
+    )
+    back = ckpt.read_sharded(spark, out)
+    assert back.count() == tx.count()
+    assert (
+        back.select("conv_id").distinct().count()
+        == tx.select("conv_id").distinct().count()
+    )
+
+
+def test_resume_recomputes_on_shard_map_change(spark, tx, tmp_path):
+    """ADVICE r1 (medium): a completed shard is only skipped when its
+    conv-set digest still matches — rerunning with different --shards must
+    recompute, not silently reuse mismatched checkpoints."""
+    out = str(tmp_path / "remap")
+    ckpt.run_sharded(tx, out, assembly.assemble_features, num_shards=4)
+    calls = []
+
+    def tracking(df):
+        calls.append(1)
+        return assembly.assemble_features(df)
+
+    second = ckpt.run_sharded(tx, out, tracking, num_shards=3)
+    # shard maps differ (mod 3 vs mod 4) -> digests mismatch -> recompute all
+    assert len(calls) == 3
+    assert sum(m["n_rows"] for m in second) == tx.count()
+
+
+def test_manifest_digest_deterministic(spark, tx, tmp_path):
+    a, b = str(tmp_path / "d1"), str(tmp_path / "d2")
+    ma = ckpt.run_sharded(tx, a, assembly.assemble_features, num_shards=3)
+    mb = ckpt.run_sharded(tx, b, assembly.assemble_features, num_shards=3)
+    ha = {m["shard"]: m["convs_hash"] for m in ma}
+    hb = {m["shard"]: m["convs_hash"] for m in mb}
+    assert ha == hb
+
+
 def test_lineage_log(tmp_path):
     out = str(tmp_path)
     ckpt.lineage_log(out, {"shard": 1, "rows": 10})
