@@ -9,16 +9,17 @@ Algorithm (Kursa & Rudnicki 2010, re-implemented Spark-first):
 each run builds shadow features — seeded permutations of every real column —
 fits a random forest on [real + shadow], and marks a "hit" for every real
 feature whose importance exceeds max(shadow importances). After each run,
-two exact binomial tail tests at p=0.5 over accumulated hits decide features:
-too many hits → Confirmed, too few → Rejected (two one-sided tests at
-pValue/2, Bonferroni-adjusted across undecided features when mcAdj).
-The loop stops when all features are decided or maxRuns is reached;
-undecided features remain Tentative and are KEPT.
+two exact binomial tail tests at p=0.5 over accumulated hits decide features,
+each tail compared to pValue after Bonferroni adjustment over ALL attributes
+when mcAdj (``Boruta:::TestFeatures`` semantics: ``p.adjust(pbinom(...),
+"bonferroni") < pValue``). The loop stops when all features are decided or
+maxRuns is reached; undecided features remain Tentative and are KEPT.
 
-Spark plan: the shadow permutation realigns each column against a seeded
-random row order (row_number over rand(seed) — a true global permutation);
-each run is one MLlib RF fit. The driver orchestrates ≤ maxRuns fits
-(SURVEY.md §2.2 #9) with early stopping.
+Spark plan: the input is round-robin repartitioned ONCE (each partition a
+systematic sample of the dataset) and cached; each run's shadow columns are
+a seeded PARTITION-LOCAL permutation via mapInPandas (operators/_permute.py)
+— map-only, no global sort, no join — followed by one MLlib RF fit. The
+driver orchestrates ≤ maxRuns fits (SURVEY.md §2.2 #9) with early stopping.
 """
 
 from __future__ import annotations
@@ -26,11 +27,10 @@ from __future__ import annotations
 import numpy as np
 from pyspark.ml.classification import RandomForestClassifier
 from pyspark.ml.regression import RandomForestRegressor
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
+from pyspark.sql import DataFrame
 
 from recipeselectors_spark.functions import stats
-from recipeselectors_spark.operators import _mllib
+from recipeselectors_spark.operators import _mllib, _permute
 from recipeselectors_spark.plans.step import FittedStep, SelectionStep
 
 
@@ -66,23 +66,12 @@ class BorutaStep(SelectionStep):
         self.seed = seed
 
     def _with_shadows(self, df: DataFrame, x_names: list[str], run: int):
-        """Append one seeded global permutation of every real column."""
-        keyed = df.withColumn(
-            "__rid__",
-            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
-        )
-        shadows = (
-            keyed.select("__rid__", *x_names)
-            .withColumn("__r__", F.rand(self.seed * 1000 + run))
-            .withColumn("__srid__", F.row_number().over(Window.orderBy("__r__")))
-            .select(
-                F.col("__srid__").alias("__rid__"),
-                *[F.col(c).alias(f"__shadow_{c}") for c in x_names],
-            )
-        )
-        return keyed.join(shadows, "__rid__").drop("__rid__"), [
-            f"__shadow_{c}" for c in x_names
-        ]
+        """Append seeded partition-local permutations of every real column.
+
+        ``df`` must already be round-robin mixed (done once in ``prep``);
+        the permutation itself is map-only — no shuffle, no global sort.
+        """
+        return _permute.with_permuted(df, x_names, seed=self.seed * 1000 + run)
 
     def _fit_importances(
         self, df: DataFrame, all_feats: list[str], kind: str
@@ -107,7 +96,15 @@ class BorutaStep(SelectionStep):
             return FittedStep(self.step_name, self.outcome, [], {}, self.skip)
 
         kind = _mllib.outcome_kind(df, self.outcome)
-        clean = df.select(*x_names, self.outcome).dropna().cache()
+        # round-robin ONCE: disperses any global ordering so the per-run
+        # partition-local shadow permutation matches a global one statistically
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        clean = (
+            df.select(*x_names, self.outcome)
+            .dropna()
+            .repartition(n_parts)
+            .cache()
+        )
 
         hits = {c: 0 for c in x_names}
         decision = {c: "Tentative" for c in x_names}
@@ -129,14 +126,18 @@ class BorutaStep(SelectionStep):
                     if real_imp[c] > shadow_max:
                         hits[c] += 1
 
+                # Boruta:::TestFeatures: each one-sided tail is Bonferroni-
+                # adjusted over ALL attributes (p.adjust method="bonferroni")
+                # and compared to pValue itself — not pValue/2, not adjusted
+                # over the undecided subset only (ADVICE r1).
                 undecided = [c for c, d in decision.items() if d == "Tentative"]
-                alpha = self.p_value / (len(undecided) if self.mc_adj and undecided else 1)
+                alpha = self.p_value / (len(x_names) if self.mc_adj else 1)
                 for c in undecided:
                     # too many hits: P(X >= hits) small → Confirmed
-                    if stats.binom_sf(hits[c] - 1, runs, 0.5) < alpha / 2:
+                    if stats.binom_sf(hits[c] - 1, runs, 0.5) < alpha:
                         decision[c] = "Confirmed"
                     # too few hits: P(X <= hits) small → Rejected
-                    elif stats.binom_cdf(hits[c], runs, 0.5) < alpha / 2:
+                    elif stats.binom_cdf(hits[c], runs, 0.5) < alpha:
                         decision[c] = "Rejected"
         finally:
             clean.unpersist()

@@ -18,9 +18,8 @@ import numpy as np
 from pyspark.ml.classification import RandomForestClassifier
 from pyspark.ml.regression import RandomForestRegressor
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
-from recipeselectors_spark.operators import _mllib
+from recipeselectors_spark.operators import _mllib, _permute
 from recipeselectors_spark.operators.importance import pull_importances
 from recipeselectors_spark.plans.step import SelectionStep
 
@@ -90,36 +89,24 @@ class ForestsStep(SelectionStep):
     ) -> dict[str, float]:
         """Baseline metric minus metric after per-column permutation.
 
-        The permutation realigns each feature column against a random row
-        order via two row_number windows — a global, seeded shuffle of that
-        single column, exact permutation semantics, two shuffles per feature.
+        The input is round-robin repartitioned ONCE (each partition a
+        systematic sample of the dataset, dispersing any global ordering)
+        and cached; each feature's permutation is then a seeded
+        PARTITION-LOCAL shuffle of that column via mapInPandas
+        (operators/_permute.py) — map-only scoring pass per feature, no
+        global sort, no join, nothing single-partition.
         """
-        from pyspark.ml.feature import VectorAssembler
-
         base_cols = list(x_names) + [self.outcome]
-        clean = df.select(*base_cols).dropna().cache()
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        clean = df.select(*base_cols).dropna().repartition(n_parts).cache()
         assembled, _ = _mllib.prepare(clean, x_names, self.outcome)
         baseline = self._metric(model, assembled, kind)
 
         out: dict[str, float] = {}
-        keyed = clean.withColumn(
-            "__rid__", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
-        ).cache()
-        n_rows = keyed.count()
         for i, c in enumerate(x_names):
-            perm = (
-                keyed.select(c)
-                .withColumn("__r__", F.rand(self.seed + i))
-                .withColumn("__rid__", F.row_number().over(Window.orderBy("__r__")))
-                .drop("__r__")
-                .withColumnRenamed(c, f"__perm__")
-            )
-            shuffled = keyed.drop(c).join(perm, "__rid__").withColumnRenamed(
-                "__perm__", c
-            )
+            shuffled = _permute.permute_columns(clean, [c], seed=self.seed + i)
             assembled_i, _ = _mllib.prepare(shuffled, x_names, self.outcome)
             out[c] = float(baseline - self._metric(model, assembled_i, kind))
-        keyed.unpersist()
         clean.unpersist()
         return out
 

@@ -1,0 +1,69 @@
+"""Partition-local seeded permutation: exact-marginal preservation,
+determinism, association broken, and — the round-1 scale fix — NO
+single-partition stage or global sort anywhere in the plan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recipeselectors_spark.operators import _permute
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rng = np.random.default_rng(7)
+    n = 4000
+    signal = rng.normal(size=n)
+    pdf = pd.DataFrame(
+        {
+            "x1": signal + rng.normal(scale=0.1, size=n),
+            "x2": rng.normal(size=n),
+            "y": (signal > 0).astype(int),
+        }
+    )
+    # adversarial layout: globally sorted by outcome — a naive partition-
+    # local permutation on the raw layout would preserve label clustering
+    pdf = pdf.sort_values("y").reset_index(drop=True)
+    return spark.createDataFrame(pdf).repartition(8).cache()
+
+
+def _plan(d):
+    return d._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_single_partition_stage(df):
+    shadowed, names = _permute.with_permuted(df, ["x1", "x2"], seed=1)
+    plan = _plan(shadowed)
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan  # no global (or any) sort
+    assert "Join" not in plan  # no rid-realignment join
+
+    replaced = _permute.permute_columns(df, ["x1"], seed=1)
+    plan2 = _plan(replaced)
+    assert "SinglePartition" not in plan2
+    assert "Window" not in plan2
+
+
+def test_marginal_preserved_exactly(df):
+    shadowed, names = _permute.with_permuted(df, ["x1"], seed=3)
+    pdf = shadowed.toPandas()
+    # the shadow is a permutation: identical multiset of values
+    assert sorted(pdf["x1"].tolist()) == sorted(pdf["__shadow_x1"].tolist())
+
+
+def test_deterministic(df):
+    a = _permute.permute_columns(df, ["x1"], seed=9).toPandas()
+    b = _permute.permute_columns(df, ["x1"], seed=9).toPandas()
+    assert (a["x1"].to_numpy() == b["x1"].to_numpy()).all()
+
+
+def test_association_broken_even_when_sorted_by_label(df):
+    """x1 predicts y (|corr| large); its shadow must not (|corr| ~ 0),
+    even though the source frame arrived globally sorted by y."""
+    shadowed, _ = _permute.with_permuted(df, ["x1"], seed=5)
+    pdf = shadowed.toPandas()
+    real = abs(np.corrcoef(pdf["x1"], pdf["y"])[0, 1])
+    shadow = abs(np.corrcoef(pdf["__shadow_x1"], pdf["y"])[0, 1])
+    assert real > 0.5
+    assert shadow < 0.1
