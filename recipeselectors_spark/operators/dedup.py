@@ -205,20 +205,13 @@ def embedding_near_dup_pairs(
     from recipeselectors_spark.operators import similarity as S
 
     dim = len(df.select(vec_col).first()[0])
-    sigs = []
-    for b in range(bands):
-        planes = S._hyperplanes(dim, n_planes, seed + 31 * b)
-        sigs.append(
-            df.select(
-                id_col,
-                F.col(vec_col).alias("__v__"),
-                F.lit(b).alias("band"),
-                S._signature(vec_col, planes).alias("bucket"),
-            )
-        )
-    banded = sigs[0]
-    for s in sigs[1:]:
-        banded = banded.unionByName(s)
+    renamed = df.select(id_col, F.col(vec_col).alias("__v__"))
+    # planes ship as one broadcast array column (codegen-safe at dim 768+),
+    # all bands in a single pass — see similarity.with_band_buckets
+    banded = S.with_band_buckets(
+        renamed, "__v__", [id_col, "__v__"], dim, n_planes, bands, seed,
+        stride=31,
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])

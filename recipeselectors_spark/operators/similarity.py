@@ -80,14 +80,64 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
-def _signature(vec_col, planes: np.ndarray):
-    """Bit-signature as int: sum over planes of 2^i · (r_i·x > 0)."""
-    sig = F.lit(0)
-    for i, row in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in row])
-        dot = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, arr)
-        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
+def with_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    keep_cols: list[str],
+    dim: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+    stride: int = 97,
+) -> DataFrame:
+    """Explode ``df`` into one row per (band, bucket) sign-signature.
+
+    The hyperplanes ride in as ONE broadcast ``array<array<array<double>>>``
+    column (cross-joined single-row frame — same pattern as the discretizer
+    cuts broadcast, _scoring.py) instead of per-component ``F.lit``s: at
+    dim 768 × 8 planes × 4 bands the literal form puts ~25k constants in the
+    expression tree (codegen/constant-pool blowup); the broadcast form is one
+    array constant regardless of dimensionality. All band signatures are
+    computed in a single pass over the input (posexplode) — the round-1 form
+    re-scanned the input once per band via union.
+
+    Bucket values are bit-identical to the round-1 encoding: bit i of band
+    b's signature = (plane_i · x > 0), weight 2^i.
+    """
+    spark = df.sparkSession
+    planes = [
+        [[float(v) for v in p] for p in _hyperplanes(dim, n_planes, seed + stride * b)]
+        for b in range(bands)
+    ]
+    planes_df = spark.createDataFrame(
+        [(planes,)], "__planes__ array<array<array<double>>>"
+    )
+    vec = F.col(vec_col)
+
+    def band_sig(band_planes):
+        bits = F.transform(
+            band_planes,
+            lambda p: F.when(_dot(vec, p) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        zero = F.struct(
+            F.lit(0).cast("long").alias("sig"), F.lit(1).cast("long").alias("w")
+        )
+        return F.aggregate(
+            bits,
+            zero,
+            lambda acc, bit: F.struct(
+                (acc["sig"] + bit * acc["w"]).alias("sig"),
+                (acc["w"] * F.lit(2).cast("long")).alias("w"),
+            ),
+            lambda acc: acc["sig"],
+        )
+
+    sigs = F.transform(F.col("__planes__"), band_sig)
+    return df.crossJoin(F.broadcast(planes_df)).select(
+        *keep_cols, F.posexplode(sigs).alias("band", "bucket")
+    )
 
 
 def lsh_ann_topk(
@@ -112,21 +162,17 @@ def lsh_ann_topk(
     dim = len(corpus.select(vec_col).first()[0])
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
-        outs = []
-        for b in range(bands):
-            planes = _hyperplanes(dim, n_planes, seed + 97 * b)
-            outs.append(
-                df.select(
-                    F.col(idc),
-                    F.col(vec_col).alias(f"__vec_{idc}__"),
-                    F.lit(b).alias("band"),
-                    _signature(vec_col, planes).alias("bucket"),
-                )
-            )
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionByName(o)
-        return out
+        renamed = df.select(F.col(idc), F.col(vec_col).alias(f"__vec_{idc}__"))
+        return with_band_buckets(
+            renamed,
+            f"__vec_{idc}__",
+            [idc, f"__vec_{idc}__"],
+            dim,
+            n_planes,
+            bands,
+            seed,
+            stride=97,
+        )
 
     cb = banded(corpus, id_col)
     qb = banded(query, query_id_col)
@@ -183,21 +229,28 @@ def ivf_topk(
             if len(pts):
                 cent[c] = pts.mean(0)
 
-    def nearest_cells(vec, n: int):
-        dists = [
-            (ci, _dot(vec, F.array(*[F.lit(float(v)) for v in c])))
-            for ci, c in enumerate(cent)
-        ]
-        # rank by negative distance ~ max dot with normalized centroids
-        arr = F.array(
-            *[F.struct(d.alias("dot"), F.lit(ci).alias("cell")) for ci, d in dists]
-        )
-        return F.slice(F.reverse(F.array_sort(arr)), 1, n)
-
-    c_assigned = corpus.withColumn(
-        "cell", nearest_cells(F.col(vec_col), 1)[0]["cell"]
+    # centroids ride in as ONE broadcast array column (not dim×k literals)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [([[float(v) for v in c] for c in cent],)],
+        "__cent__ array<array<double>>",
     )
-    q_assigned = query.withColumn(
+
+    def nearest_cells(vec, n: int):
+        # rank by dot product with the centroids (2-arity transform lambda
+        # binds (element, index) — the cell id)
+        structs = F.transform(
+            F.col("__cent__"),
+            lambda c, i: F.struct(
+                _dot(vec, c).alias("dot"), i.cast("int").alias("cell")
+            ),
+        )
+        return F.slice(F.reverse(F.array_sort(structs)), 1, n)
+
+    c_assigned = corpus.crossJoin(F.broadcast(cent_df)).withColumn(
+        "cell", nearest_cells(F.col(vec_col), 1)[0]["cell"]
+    ).drop("__cent__")
+    q_assigned = query.crossJoin(F.broadcast(cent_df)).withColumn(
         "cells", nearest_cells(F.col(vec_col), nprobe)
     ).select(
         query_id_col,

@@ -178,6 +178,33 @@ def test_lsh_ann_recall(spark, emb):
     assert recall >= 0.4  # approximate method, banded: sane recall
 
 
+def test_lsh_ann_high_dim_plan_safe(spark):
+    """dim=768 × 8 planes × 4 bands: the round-1 literal-encoded planes put
+    ~25k constants in the expression tree; the broadcast-planes form must
+    build and run instantly regardless of dimensionality."""
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(64, 768)).astype(float)
+    pdf = pd.DataFrame({"vec_id": range(64), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf)
+    corpus = df.where(F.col("vec_id") != 0)
+    query = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = similarity.lsh_ann_topk(
+        corpus, query, k=3, n_planes=8, bands=4
+    ).toPandas()
+    assert len(got) <= 3
+    # and the banded frame's plan carries ONE broadcast, no giant literal
+    banded = similarity.with_band_buckets(
+        corpus.select("vec_id", F.col("embedding").alias("__v__")),
+        "__v__", ["vec_id"], 768, 8, 4, seed=42,
+    )
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_ivf_topk_runs(spark, emb):
     corpus = emb.where(F.col("vec_id") != 0)
     query = emb.where(F.col("vec_id") < 3).select(
