@@ -240,7 +240,9 @@ def fisher_exact_2x2(table: np.ndarray) -> float:
 
 def bh_adjust(pvals: np.ndarray) -> np.ndarray:
     """Benjamini–Hochberg FDR adjustment, p.adjust(method='BH') parity
-    (step_select_xtab.R:146-148). NaNs propagate."""
+    (step_select_xtab.R:146-148). NaNs propagate; as in R, the scaling
+    numerator is n = length(p) INCLUDING NAs (p.adjust's default ``n``)
+    while ranks run over the non-NA values only (ADVICE r1)."""
     p = np.asarray(pvals, dtype=float)
     out = np.full_like(p, np.nan)
     ok = ~np.isnan(p)
@@ -249,7 +251,7 @@ def bh_adjust(pvals: np.ndarray) -> np.ndarray:
     if m == 0:
         return out
     order = np.argsort(pv, kind="mergesort")[::-1]  # descending
-    ranked = pv[order] * m / np.arange(m, 0, -1)
+    ranked = pv[order] * len(p) / np.arange(m, 0, -1)
     adj = np.minimum.accumulate(ranked)
     res = np.empty(m)
     res[order] = np.minimum(adj, 1.0)

@@ -3,10 +3,10 @@
 Spark has no native as-of join (SURVEY.md §2.4 "Joins"). Two strategies:
 
 * ``asof_join_union`` — the pure-Catalyst form: tag + union both sides,
-  one window per conversation ordered by ``(ts, side, turn order)``, and
-  ``last(value, ignorenulls=True)`` carries the latest feature row with
-  ``feature.ts <= spine.ts`` onto each spine row. ONE shuffle, whole-stage
-  codegen, no Python. Preferred whenever the value columns are simple.
+  one window per conversation ordered by ``(ts, side)``, and
+  ``last(struct(ts, *values), ignorenulls=True)`` carries the latest
+  feature ROW (NULL fields included) with ``feature.ts <= spine.ts`` onto
+  each spine row. ONE shuffle, whole-stage codegen, no Python.
 
 * ``asof_join_cogroup`` — the general scalable form the north rule names
   ("sorted-merge over range-partitioned, salt-balanced conv_id shards"):
@@ -46,6 +46,13 @@ def asof_join_union(
 
     Result: every spine row + ``value_cols`` from the latest qualifying
     feature row (NULL when none). Catalyst-only: union + one window.
+
+    The carried payload is ``last(struct(ts, *value_cols), ignorenulls)``
+    over FEATURE rows only: the whole latest row is carried — including any
+    NULLs inside it — matching ``pandas.merge_asof`` / DuckDB ASOF JOIN row
+    semantics (a per-column last-non-null would mix columns from different
+    feature rows; ADVICE r1). The tolerance check uses the carried row's own
+    ts, by construction.
     """
     spine_cols = spine.columns
     s = spine.withColumn("__side__", F.lit(1))
@@ -70,23 +77,33 @@ def asof_join_union(
         .orderBy(F.col(ts), F.col("__side__"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # NULL for spine rows => last(ignorenulls) lands on the latest feature
+    # ROW; the struct is non-null for every feature row even when its value
+    # fields are null, so those nulls are carried intact
+    payload = F.when(
+        F.col("__side__") == 0,
+        F.struct(
+            F.col(ts).alias("__fts__"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ),
+    )
+    out = unioned.withColumn(
+        "__carry__", F.last(payload, ignorenulls=True).over(w)
+    )
+    keep = F.lit(True)
     if tolerance_s is not None:
-        out = out.withColumn(
-            "__feat_ts__",
-            F.last(
-                F.when(F.col("__side__") == 0, F.col(ts)), ignorenulls=True
-            ).over(w),
+        age = (
+            F.col(ts).cast("timestamp").cast("long")
+            - F.col("__carry__")["__fts__"].cast("timestamp").cast("long")
         )
-        age = F.col(ts).cast("timestamp").cast("long") - F.col("__feat_ts__").cast("timestamp").cast("long")
-        for c in value_cols:
-            out = out.withColumn(
-                c, F.when(age <= tolerance_s, F.col(c)).otherwise(F.lit(None))
-            )
-        out = out.drop("__feat_ts__")
-    return out.where(F.col("__side__") == 1).drop("__side__")
+        keep = age <= tolerance_s
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(keep, F.col("__carry__")[c]).otherwise(F.lit(None))
+        )
+    return (
+        out.where(F.col("__side__") == 1).drop("__side__", "__carry__")
+    )
 
 
 def hot_conv_shards(

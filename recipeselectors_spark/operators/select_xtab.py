@@ -80,3 +80,15 @@ class XtabStep(SelectionStep):
             adj = stats.bh_adjust(np.array([pvals[n] for n in names]))
             pvals = {n: float(a) for n, a in zip(names, adj)}
         return pvals
+
+    def tunable(self):
+        """step_select_xtab.R:206-217 — dials::threshold with range
+        (-10, -1) declared on the LOG10 scale (candidate thresholds are
+        10^x); top_p inherits the generic finalized-int space."""
+        base = super().tunable()
+        base["threshold"] = {
+            "type": "double",
+            "range": (-10.0, -1.0),
+            "trans": "log10",
+        }
+        return base

@@ -81,6 +81,24 @@ def grid(
     return out
 
 
+def expand_candidates(spec: dict[str, Any], n: int = 5) -> list[float]:
+    """Regular grid of ``n`` candidates from one tunable() param spec,
+    honoring the declared transform: a ``trans: log10`` space (e.g.
+    step_select_xtab's threshold, range (-10,-1) per
+    step_select_xtab.R:206-217) yields 10^x candidates; untransformed
+    spaces yield the raw grid. Int spaces round."""
+    lo, hi = spec["range"]
+    if n == 1:
+        xs = [lo]
+    else:
+        xs = [lo + (hi - lo) * i / (n - 1) for i in range(n)]
+    if spec.get("trans") == "log10":
+        xs = [10.0 ** x for x in xs]
+    if spec.get("type") == "int":
+        xs = sorted({int(round(x)) for x in xs})
+    return xs
+
+
 def finalize_top_p_range(n_predictors: int) -> tuple[int, int]:
     """parameters.R:19-28 — default [1,4], finalized by data dimensionality."""
     return (1, max(1, min(4, n_predictors) if n_predictors < 4 else n_predictors))

@@ -75,6 +75,29 @@ def test_cogroup_strategy(spark, frames, tolerance):
     _check(got, want)
 
 
+@pytest.mark.parametrize("tolerance", [None, 600])
+def test_union_carries_whole_rows_with_nulls(spark, frames, tolerance):
+    """ADVICE r1 (medium): the carried payload is the latest feature ROW —
+    its internal NULLs included — not a per-column last-non-null mix; both
+    strategies and the pandas merge_asof oracle must agree."""
+    spine, features = frames
+    features = features.copy()
+    # poke NULLs into v1 on even rows and v2 on every third row: a
+    # per-column carry would backfill these from OLDER rows
+    features.loc[features.index % 2 == 0, "v1"] = np.nan
+    features.loc[features.index % 3 == 0, "v2"] = np.nan
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    want = oracles.asof_join(spine, features, ["v1", "v2"], tolerance_s=tolerance)
+    got_u = asof.asof_join_union(
+        s, f, ["v1", "v2"], tolerance_s=tolerance
+    ).toPandas()
+    got_c = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], tolerance_s=tolerance, num_shards=4
+    ).toPandas()
+    _check(got_u, want)
+    _check(got_c, want)
+
+
 def test_shard_map_balances_and_isolates_skew(spark, frames):
     spine, features = frames
     s, f = spark.createDataFrame(spine), spark.createDataFrame(features)

@@ -88,6 +88,11 @@ def test_bh_adjust_r_parity():
     # R: p.adjust(c(.001,.008,.039,.041,.09), "BH")
     out2 = stats.bh_adjust(np.array([0.001, 0.008, 0.039, 0.041, 0.09]))
     assert np.allclose(out2, [0.005, 0.02, 0.05125, 0.05125, 0.09])
+    # R: p.adjust(c(.01,.02,NA,.04), "BH") == c(.04,.04,NA,.0533333) —
+    # n includes NAs, ranks don't (ADVICE r1)
+    out3 = stats.bh_adjust(np.array([0.01, 0.02, np.nan, 0.04]))
+    assert np.isnan(out3[2])
+    assert np.allclose(out3[[0, 1, 3]], [0.04, 0.04, 0.04 * 4 / 3])
 
 
 def test_binom_tails():

@@ -121,3 +121,25 @@ def test_dual_filter_property(scores, top_p, threshold):
         in_top = has_top and k in top_set
         passes_thr = has_thr and ok[k] >= threshold
         assert (k in kept) == (in_top or passes_thr)
+
+
+def test_xtab_tunable_log10_threshold():
+    """step_select_xtab.R:206-217: threshold tunes over (-10,-1) on the
+    log10 scale — candidates are 10^x, not a linear (0,1) grid."""
+    from recipeselectors_spark.operators.select_xtab import XtabStep
+    from recipeselectors_spark.plans import tuning
+
+    spec = XtabStep("y", top_p=2).tunable()["threshold"]
+    assert spec["range"] == (-10.0, -1.0)
+    assert spec["trans"] == "log10"
+    cands = tuning.expand_candidates(spec, n=4)
+    assert cands[0] == 10.0 ** -10 and cands[-1] == 10.0 ** -1
+    assert all(0 < c <= 0.1 for c in cands)
+
+
+def test_expand_candidates_int_space():
+    from recipeselectors_spark.plans import tuning
+
+    assert tuning.expand_candidates(
+        {"type": "int", "range": (1, 4)}, n=4
+    ) == [1, 2, 3, 4]
