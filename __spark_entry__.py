@@ -336,6 +336,64 @@ SELECT 'value' AS feature,
 """
 
 
+_MRMR_ORACLE = f"""
+-- greedy mRMR over (value, props_len), bins=4 equal-freq:
+-- score(first) = I(X;Y); score(second) = I(X;Y) - I(X; first).
+-- Bin rule replicates equal_freq_cut_points dedup: a quantile counts only
+-- if strictly greater than the previous one (quantiles are monotone).
+WITH feat AS (
+  SELECT CAST(value AS double) AS v, CAST(length(props) AS double) AS p,
+         CASE WHEN event_type='purchase' THEN 'pos' ELSE 'neg' END AS y
+  FROM events
+),
+qv AS (
+  SELECT quantile_cont(v, 0.25) c1, quantile_cont(v, 0.50) c2,
+         quantile_cont(v, 0.75) c3 FROM feat
+),
+qp AS (
+  SELECT quantile_cont(p, 0.25) c1, quantile_cont(p, 0.50) c2,
+         quantile_cont(p, 0.75) c3 FROM feat
+),
+binned AS (
+  SELECT
+    (CASE WHEN v >= qv.c1 THEN 1 ELSE 0 END)
+    + (CASE WHEN v >= qv.c2 AND qv.c2 > qv.c1 THEN 1 ELSE 0 END)
+    + (CASE WHEN v >= qv.c3 AND qv.c3 > qv.c2 THEN 1 ELSE 0 END) AS bv,
+    (CASE WHEN p >= qp.c1 THEN 1 ELSE 0 END)
+    + (CASE WHEN p >= qp.c2 AND qp.c2 > qp.c1 THEN 1 ELSE 0 END)
+    + (CASE WHEN p >= qp.c3 AND qp.c3 > qp.c2 THEN 1 ELSE 0 END) AS bp,
+    y
+  FROM feat, qv, qp
+),
+n AS (SELECT COUNT(*)::double AS nt FROM binned),
+hv  AS (SELECT -SUM(q*LN(q)) AS h FROM
+         (SELECT COUNT(*)/(SELECT nt FROM n) AS q FROM binned GROUP BY bv)),
+hp  AS (SELECT -SUM(q*LN(q)) AS h FROM
+         (SELECT COUNT(*)/(SELECT nt FROM n) AS q FROM binned GROUP BY bp)),
+hy  AS (SELECT -SUM(q*LN(q)) AS h FROM
+         (SELECT COUNT(*)/(SELECT nt FROM n) AS q FROM binned GROUP BY y)),
+hvy AS (SELECT -SUM(q*LN(q)) AS h FROM
+         (SELECT COUNT(*)/(SELECT nt FROM n) AS q FROM binned GROUP BY bv, y)),
+hpy AS (SELECT -SUM(q*LN(q)) AS h FROM
+         (SELECT COUNT(*)/(SELECT nt FROM n) AS q FROM binned GROUP BY bp, y)),
+hvp AS (SELECT -SUM(q*LN(q)) AS h FROM
+         (SELECT COUNT(*)/(SELECT nt FROM n) AS q FROM binned GROUP BY bv, bp)),
+mi AS (
+  SELECT (SELECT h FROM hv)+(SELECT h FROM hy)-(SELECT h FROM hvy) AS miv,
+         (SELECT h FROM hp)+(SELECT h FROM hy)-(SELECT h FROM hpy) AS mip,
+         (SELECT h FROM hv)+(SELECT h FROM hp)-(SELECT h FROM hvp) AS mivp
+)
+SELECT 'props_len' AS feature,
+       ROUND(CASE WHEN miv >= mip THEN mip - mivp ELSE mip END, {ROUND}) AS mrmr
+FROM mi
+UNION ALL
+SELECT 'value',
+       ROUND(CASE WHEN miv >= mip THEN miv ELSE miv - mivp END, {ROUND})
+FROM mi
+ORDER BY feature
+"""
+
+
 def q_chi2_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square statistic per categorical feature from the melted
     contingency aggregation (no continuity correction, to stay
@@ -559,10 +617,13 @@ def q_infgain_mdl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mrmr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy mRMR over two equal-freq-binned features: score(first) =
+    I(X;Y), score(second) = I(X;Y) − I(X; first). bins=4 keeps the DuckDB
+    oracle's quantile/entropy SQL tractable."""
     from recipeselectors_spark.operators import MrmrStep
 
     df = _feature_frame(spark, sf_dir)
-    fitted = MrmrStep("y", terms=["value", "props_len"], top_p=1).prep(df)
+    fitted = MrmrStep("y", terms=["value", "props_len"], top_p=1, bins=4).prep(df)
     rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
     return spark.createDataFrame(rows, "feature string, mrmr double")
 
@@ -579,6 +640,39 @@ def q_carscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).prep(li)
     rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
     return spark.createDataFrame(rows, "feature string, carscore double")
+
+
+def q_carscore_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAR scores with diagonal=TRUE (step_select_carscore.R:151): marginal
+    |corr(x, y)| — exactly DuckDB corr()."""
+    from recipeselectors_spark.operators import CarScoreStep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    fitted = CarScoreStep(
+        "l_extendedprice",
+        terms=["l_quantity", "l_discount", "l_tax"],
+        top_p=2,
+        diagonal=True,
+    ).prep(li)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, carscore double")
+
+
+def q_linear_reg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|OLS coefficients| via LinearStep (penalty=0 → MLlib normal-equation
+    solve, exact least squares) — closed-form covariance SQL in the oracle."""
+    from recipeselectors_spark.operators import LinearStep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    fitted = LinearStep(
+        "l_extendedprice", terms=["l_quantity", "l_discount"], top_p=1
+    ).prep(li)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, abs_coef double")
 
 
 def q_linear_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,10 +790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "cosine_topk": q_cosine_topk,
+        "mrmr_scores": q_mrmr_scores,
+        "carscore_diag": q_carscore_diag,
+        "linear_reg_coefs": q_linear_reg_coefs,
         # rows-only (no SQL oracle)
         "assemble_features": q_assemble_features,
         "infgain_mdl": q_infgain_mdl,
-        "mrmr_scores": q_mrmr_scores,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
         "forest_importance": q_forest_importance,
@@ -840,5 +936,40 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text,
                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
             FROM documents
+        """,
+        "mrmr_scores": _MRMR_ORACLE,
+        "carscore_diag": f"""
+            SELECT 'l_discount' AS feature,
+                   ROUND(ABS(corr(l_discount, l_extendedprice)), {ROUND}) AS carscore
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', ROUND(ABS(corr(l_quantity, l_extendedprice)), {ROUND})
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', ROUND(ABS(corr(l_tax, l_extendedprice)), {ROUND})
+            FROM lineitem
+            ORDER BY feature
+        """,
+        "linear_reg_coefs": f"""
+            -- OLS with intercept on 2 predictors: closed-form normal
+            -- equations over (co)variances (MLlib regParam=0 solves the
+            -- same system exactly via the 'normal' solver)
+            WITH s AS (
+              SELECT covar_samp(l_quantity, l_extendedprice) AS c1y,
+                     covar_samp(l_discount, l_extendedprice) AS c2y,
+                     covar_samp(l_quantity, l_discount) AS c12,
+                     var_samp(l_quantity) AS v1,
+                     var_samp(l_discount) AS v2
+              FROM lineitem
+            )
+            SELECT 'l_discount' AS feature,
+                   ROUND(ABS((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12)), {ROUND})
+                     AS abs_coef
+            FROM s
+            UNION ALL
+            SELECT 'l_quantity',
+                   ROUND(ABS((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12)), {ROUND})
+            FROM s
+            ORDER BY feature
         """,
     }
