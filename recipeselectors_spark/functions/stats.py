@@ -211,11 +211,11 @@ def chi2_test(table: np.ndarray, correction: bool | None = None) -> float:
 
 def fisher_exact_2x2(table: np.ndarray) -> float:
     """Two-sided Fisher exact p-value on a 2×2 table: sum of hypergeometric
-    probabilities <= the observed one (R fisher.test default). r×c tables are
-    out of scope (documented restriction, SURVEY.md §7)."""
+    probabilities <= the observed one (R fisher.test default). For general
+    r×c tables use :func:`fisher_exact`."""
     t = np.asarray(table, dtype=int)
     if t.shape != (2, 2):
-        raise NotImplementedError("fisher_exact supports 2x2 tables only")
+        raise NotImplementedError("fisher_exact_2x2 supports 2x2 tables only")
     a, b = int(t[0, 0]), int(t[0, 1])
     c, d = int(t[1, 0]), int(t[1, 1])
     row1, col1, n = a + b, a + c, a + b + c + d
@@ -236,6 +236,80 @@ def fisher_exact_2x2(table: np.ndarray) -> float:
         if lp <= p_obs + 1e-7:  # R's relative tolerance on ties
             total += math.exp(lp)
     return float(min(1.0, total))
+
+
+class FisherBudgetExceeded(Exception):
+    """Raised when the r×c enumeration would visit more tables than the
+    caller's budget — callers fall back to the chi-square approximation."""
+
+
+def fisher_exact(table: np.ndarray, max_tables: int = 500_000) -> float:
+    """Two-sided Fisher exact conditional test for an r×c table.
+
+    Parity target: ``stats::fisher.test(xtab)`` with no shape restriction
+    (/root/reference/R/step_select_xtab.R:116). The p-value is the sum of
+    probabilities, under the multiple-hypergeometric distribution with the
+    observed margins, of every table at most as probable as the observed one
+    (R's 1e-7 relative tie tolerance, as in the 2×2 path).
+
+    Enumeration is a depth-first fill over rows (last row/cell forced by the
+    margins), pruned by the column remainders. The visited-table count is
+    capped at ``max_tables``: beyond it :class:`FisherBudgetExceeded` is
+    raised so callers can fall back to chi-square — exact enumeration is
+    only meant for the low-cardinality factor × outcome tables this step
+    scores. 2×2 input short-circuits to the closed hypergeometric form.
+    """
+    tab = np.asarray(table, dtype=np.int64)
+    if tab.ndim != 2 or min(tab.shape) < 2:
+        raise ValueError("fisher_exact requires an r×c table with r,c >= 2")
+    if tab.shape == (2, 2):
+        return fisher_exact_2x2(tab)
+    rows = [int(x) for x in tab.sum(axis=1)]
+    cols = [int(x) for x in tab.sum(axis=0)]
+    n = int(tab.sum())
+    lg = math.lgamma
+    const = (
+        sum(lg(x + 1) for x in rows)
+        + sum(lg(x + 1) for x in cols)
+        - lg(n + 1)
+    )
+    obs = const - float(sum(lg(int(x) + 1) for x in tab.flat))
+    cutoff = obs + 1e-7
+    n_rows, n_cols = tab.shape
+    state = {"total": 0.0, "count": 0}
+
+    def rec(r: int, rem_cols: list[int], acc_lg: float) -> None:
+        if r == n_rows - 1:
+            state["count"] += 1
+            if state["count"] > max_tables:
+                raise FisherBudgetExceeded(
+                    f"fisher_exact enumeration exceeded {max_tables} tables"
+                )
+            lp = const - (acc_lg + sum(lg(x + 1) for x in rem_cols))
+            if lp <= cutoff:
+                state["total"] += math.exp(lp)
+            return
+        target = rows[r]
+        cells = [0] * n_cols
+
+        def fill(j: int, remaining: int) -> None:
+            if j == n_cols - 1:
+                if remaining <= rem_cols[j]:
+                    cells[j] = remaining
+                    rec(
+                        r + 1,
+                        [rem_cols[k] - cells[k] for k in range(n_cols)],
+                        acc_lg + sum(lg(c + 1) for c in cells),
+                    )
+                return
+            for v in range(min(remaining, rem_cols[j]) + 1):
+                cells[j] = v
+                fill(j + 1, remaining - v)
+
+        fill(0, target)
+
+    rec(0, list(cols), 0.0)
+    return float(min(1.0, state["total"]))
 
 
 def bh_adjust(pvals: np.ndarray) -> np.ndarray:
@@ -262,6 +336,34 @@ def bh_adjust(pvals: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 # CAR scores (care::carscore parity, /root/reference/R/step_select_carscore.R)
 # --------------------------------------------------------------------------
+
+def shrinkage_lambda_from_stats(
+    r: np.ndarray, sum_w2: np.ndarray, n: int
+) -> float:
+    """Schäfer–Strimmer (2005) shrinkage intensity toward the identity
+    correlation target (corpcor/care default when lambda is not supplied,
+    step_select_carscore.R:141-144):
+
+        λ* = Σ_{i≠j} Var̂(r_ij) / Σ_{i≠j} r_ij²,  clamped to [0, 1]
+
+    with w_kij = z_ki·z_kj (z standardized by sample mean / sample sd),
+    w̄_ij = (n−1)/n · r_ij, and Var̂(r_ij) = n/(n−1)³ · Σ_k (w_kij − w̄_ij)².
+    ``sum_w2[i,j]`` must hold Σ_k w_kij² — the only moment beyond the
+    correlation matrix itself, computable in one extra aggregation pass.
+    """
+    r = np.asarray(r, dtype=float)
+    p = r.shape[0]
+    if n < 2 or p < 2:
+        return 0.0
+    mask = ~np.eye(p, dtype=bool)
+    w_bar = (n - 1) / n * r
+    var_r = n / (n - 1) ** 3 * (np.asarray(sum_w2, dtype=float) - n * w_bar**2)
+    den = float((r[mask] ** 2).sum())
+    if den <= 0:
+        return 1.0
+    num = float(var_r[mask].sum())
+    return float(min(1.0, max(0.0, num / den)))
+
 
 def carscore(
     rxx: np.ndarray,

@@ -24,9 +24,10 @@ from recipeselectors_spark.operators import _scoring
 from recipeselectors_spark.plans.step import SelectionStep
 
 
-def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
-    """Pearson correlation of ``cols`` via one sufficient-stats pass."""
-    q = _scoring.quote
+def _moment_stats(
+    df: DataFrame, cols: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """One sufficient-stats pass: (corr, means, pop-variances, n)."""
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i, a in enumerate(cols):
         aggs.append(F.sum(F.col(a).cast("double")).alias(f"s_{i}"))
@@ -38,15 +39,53 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
                 )
             )
     row = df.agg(*aggs).collect()[0].asDict()
-    n = float(row["__n__"])
+    n = int(row["__n__"])
     p = len(cols)
     s = np.array([row[f"s_{i}"] for i in range(p)], dtype=float)
+    means = s / n
     cov = np.empty((p, p))
     for i in range(p):
         for j in range(i, p):
-            cov[i, j] = cov[j, i] = row[f"p_{i}_{j}"] / n - (s[i] / n) * (s[j] / n)
-    d = np.sqrt(np.maximum(np.diag(cov), 1e-300))
-    return cov / np.outer(d, d)
+            cov[i, j] = cov[j, i] = row[f"p_{i}_{j}"] / n - means[i] * means[j]
+    var_pop = np.maximum(np.diag(cov).copy(), 1e-300)
+    d = np.sqrt(var_pop)
+    return cov / np.outer(d, d), means, var_pop, n
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> np.ndarray:
+    """Pearson correlation of ``cols`` via one sufficient-stats pass."""
+    return _moment_stats(df, cols)[0]
+
+
+def _pair_w2_matrix(
+    df: DataFrame,
+    cols: list[str],
+    means: np.ndarray,
+    var_samp: np.ndarray,
+) -> np.ndarray:
+    """Σ_k z_ki²·z_kj² for every feature pair i<j — the single extra moment
+    the Schäfer–Strimmer λ estimator needs. One map-side-combined agg pass;
+    output is p²-sized (driver-safe)."""
+    p = len(cols)
+    centered = [
+        (F.col(c).cast("double") - F.lit(float(means[i])))
+        for i, c in enumerate(cols)
+    ]
+    aggs = []
+    for i in range(p):
+        for j in range(i + 1, p):
+            aggs.append(
+                F.sum((centered[i] * centered[i]) * (centered[j] * centered[j]))
+                .alias(f"w2_{i}_{j}")
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i + 1, p):
+            out[i, j] = out[j, i] = row[f"w2_{i}_{j}"] / (
+                var_samp[i] * var_samp[j]
+            )
+    return out
 
 
 class CarScoreStep(SelectionStep):
@@ -60,11 +99,13 @@ class CarScoreStep(SelectionStep):
         terms=None,
         top_p=float("nan"),
         threshold=float("nan"),
-        lam: float = 0.0,
+        lam: float | str = "auto",
         diagonal: bool = False,
         skip: bool = False,
     ) -> None:
         super().__init__(outcome, terms, top_p, threshold, skip)
+        if isinstance(lam, str) and lam != "auto":
+            raise ValueError("lam must be a float or 'auto'")
         self.lam = lam
         self.diagonal = diagonal
 
@@ -79,8 +120,21 @@ class CarScoreStep(SelectionStep):
 
     def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
         cols = list(x_names) + [self.outcome]
-        corr = correlation_matrix(df.dropna(subset=cols), cols)
+        clean = df.dropna(subset=cols)
+        corr, means, var_pop, n = _moment_stats(clean, cols)
         rxx = corr[:-1, :-1]
         rxy = corr[:-1, -1]
-        omega = stats.carscore(rxx, rxy, lam=self.lam, diagonal=self.diagonal)
+        lam = self.lam
+        if lam == "auto":
+            # care::carscore default: estimate the shrinkage intensity
+            # (Schäfer–Strimmer) when lambda is not supplied (:141-144).
+            # Needs one extra bounded-output agg pass (Σ z_i²z_j² per pair);
+            # skipped when diagonal (marginal correlations ignore R_XX).
+            if self.diagonal or len(x_names) < 2 or n < 2:
+                lam = 0.0
+            else:
+                var_samp = var_pop[:-1] * n / (n - 1)
+                sum_w2 = _pair_w2_matrix(clean, x_names, means[:-1], var_samp)
+                lam = stats.shrinkage_lambda_from_stats(rxx, sum_w2, n)
+        omega = stats.carscore(rxx, rxy, lam=lam, diagonal=self.diagonal)
         return {c: float(w) for c, w in zip(x_names, omega)}

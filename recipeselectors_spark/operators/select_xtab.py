@@ -10,10 +10,14 @@ Spark plan: both predictor and outcome are nominal — ONE melted
 ``groupBy(feature, level, y).count()`` shuffle builds every contingency table;
 the tiny tables are collected and tested on the driver with the numpy kernels
 (scipy-free chi-square survival function / exact hypergeometric tail).
-Fisher is 2×2-only (documented restriction, SURVEY.md §7).
+Fisher handles any r×c shape via depth-first enumeration of same-margin
+tables (fisher.test parity, :116); tables whose enumeration would exceed
+the budget fall back to chi-square with a warning.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -69,9 +73,17 @@ class XtabStep(SelectionStep):
                 continue
             if self.test == "fisher":
                 try:
-                    pvals[c] = stats.fisher_exact_2x2(tab)
-                except NotImplementedError:
-                    pvals[c] = float("nan")
+                    # any r×c shape, fisher.test parity (:116); 2×2 uses the
+                    # closed hypergeometric form inside
+                    pvals[c] = stats.fisher_exact(tab)
+                except stats.FisherBudgetExceeded:
+                    warnings.warn(
+                        f"step_select_xtab: exact Fisher enumeration for "
+                        f"{c!r} ({tab.shape[0]}x{tab.shape[1]}, "
+                        f"n={int(tab.sum())}) exceeds the table budget; "
+                        f"falling back to the chi-square approximation."
+                    )
+                    pvals[c] = stats.chi2_test(tab)
             else:
                 pvals[c] = stats.chi2_test(tab)
 

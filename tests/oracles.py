@@ -145,9 +145,9 @@ def xtab_scores(
         tab = pd.crosstab(sub[c], sub[outcome]).to_numpy(dtype=float)
         if test == "fisher":
             try:
-                out[c] = stats.fisher_exact_2x2(tab)
-            except NotImplementedError:
-                out[c] = float("nan")
+                out[c] = stats.fisher_exact(tab)
+            except stats.FisherBudgetExceeded:
+                out[c] = stats.chi2_test(tab)
         else:
             out[c] = stats.chi2_test(tab)
     if fdr:
@@ -193,11 +193,34 @@ def mrmr_scores(
     return scores
 
 
+def schafer_strimmer_lambda(x: np.ndarray) -> float:
+    """Independent brute-force Schäfer–Strimmer λ*: materialize the per-row
+    products w_kij = z_ki·z_kj explicitly (no sufficient-stats shortcut)."""
+    n, p = x.shape
+    z = (x - x.mean(0)) / x.std(0, ddof=1)
+    r = (z.T @ z) / (n - 1)
+    num = den = 0.0
+    for i in range(p):
+        for j in range(p):
+            if i == j:
+                continue
+            w = z[:, i] * z[:, j]
+            num += n / (n - 1) ** 3 * ((w - w.mean()) ** 2).sum()
+            den += r[i, j] ** 2
+    if den <= 0:
+        return 1.0
+    return min(1.0, max(0.0, num / den))
+
+
 def carscore_scores(
     pdf: pd.DataFrame, x_names: list[str], outcome: str,
-    lam: float = 0.0, diagonal: bool = False,
+    lam: float | str = "auto", diagonal: bool = False,
 ) -> dict[str, float]:
     sub = pdf[list(x_names) + [outcome]].dropna()
     corr = np.corrcoef(sub.to_numpy(dtype=float), rowvar=False)
+    if lam == "auto":
+        lam = 0.0 if diagonal else schafer_strimmer_lambda(
+            sub[list(x_names)].to_numpy(dtype=float)
+        )
     omega = stats.carscore(corr[:-1, :-1], corr[:-1, -1], lam=lam, diagonal=diagonal)
     return {c: float(w) for c, w in zip(x_names, omega)}

@@ -133,6 +133,18 @@ def test_xtab_fisher_2x2(lending):
     _scores_close(fitted.scores, want, rtol=1e-8)
 
 
+def test_xtab_fisher_rxc_scores_real_pvalues(lending):
+    """A >2-level factor with exact=True now gets a real r×c Fisher p-value
+    (round-1 behavior: silent NaN -> force-excluded). cat02 has 3 levels."""
+    pdf, df = lending
+    fitted = XtabStep(
+        "Class", terms=["cat02", "cat04"], top_p=1, test="fisher"
+    ).prep(df)
+    assert not np.isnan(fitted.scores["cat02"])
+    want = oracles.xtab_scores(pdf, ["cat02", "cat04"], "Class", test="fisher")
+    _scores_close(fitted.scores, want, rtol=1e-8)
+
+
 def test_xtab_bh_fdr(lending):
     pdf, df = lending
     fitted = XtabStep("Class", terms=fixtures.LENDING_CAT, top_p=3, fdr=True).prep(df)
@@ -167,10 +179,30 @@ def test_mrmr_redundancy_penalty(cells):
 # -- carscore --------------------------------------------------------------
 
 def test_carscore_match_oracle(cars):
+    """Default lam='auto' (care::carscore default): the Spark two-pass
+    sufficient-stats λ must match the brute-force per-row-products oracle."""
     pdf, df = cars
     fitted = CarScoreStep("price", top_p=4).prep(df)
     want = oracles.carscore_scores(pdf, fixtures.CAR_X, "price")
     _scores_close(fitted.scores, want, rtol=1e-7)
+    # shrinkage actually engages on this correlated fixture
+    lam = oracles.schafer_strimmer_lambda(
+        pdf[fixtures.CAR_X].dropna().to_numpy(dtype=float)
+    )
+    assert 0.0 < lam < 1.0
+
+
+def test_carscore_explicit_lambda(cars):
+    pdf, df = cars
+    fitted = CarScoreStep("price", top_p=4, lam=0.3).prep(df)
+    want = oracles.carscore_scores(pdf, fixtures.CAR_X, "price", lam=0.3)
+    _scores_close(fitted.scores, want, rtol=1e-7)
+    # auto != explicit-zero on an ill-conditioned correlation matrix
+    zero = CarScoreStep("price", top_p=4, lam=0.0).prep(df).scores
+    auto = CarScoreStep("price", top_p=4).prep(df).scores
+    assert any(
+        not np.isclose(zero[c], auto[c], rtol=1e-6) for c in fixtures.CAR_X
+    )
 
 
 def test_carscore_diagonal_is_marginal(cars):

@@ -81,6 +81,73 @@ def test_fisher_exact_r_parity():
     assert np.isclose(p2, 0.03496503, atol=1e-6)
 
 
+def _fisher_bruteforce(tab):
+    """Independent oracle: enumerate ALL same-margin tables by brute force
+    over cell ranges (itertools product), sum P(T) <= P(obs)·(1+1e-7) under
+    the multiple hypergeometric — a different algorithm from the DFS kernel."""
+    import itertools
+    import math
+
+    tab = np.asarray(tab, dtype=int)
+    rows, cols = tab.sum(1), tab.sum(0)
+    n = int(tab.sum())
+    lg = math.lgamma
+    const = sum(lg(x + 1) for x in rows) + sum(lg(x + 1) for x in cols) - lg(n + 1)
+
+    def logp(m):
+        return const - sum(lg(int(x) + 1) for x in np.asarray(m).flat)
+
+    p_obs = logp(tab)
+    r, c = tab.shape
+    total = 0.0
+    ranges = [range(min(int(rows[i]), int(cols[j])) + 1)
+              for i in range(r - 1) for j in range(c - 1)]
+    for inner in itertools.product(*ranges):
+        m = np.zeros((r, c), dtype=int)
+        m[: r - 1, : c - 1] = np.array(inner).reshape(r - 1, c - 1)
+        m[: r - 1, c - 1] = rows[: r - 1] - m[: r - 1, : c - 1].sum(1)
+        m[r - 1, :] = cols - m[: r - 1, :].sum(0)
+        if (m >= 0).all():
+            lp = logp(m)
+            if lp <= p_obs + 1e-7:
+                total += math.exp(lp)
+    return min(1.0, total)
+
+
+def test_fisher_rxc_matches_bruteforce_oracle():
+    cases = [
+        np.array([[3, 1, 4], [1, 5, 2]]),             # 2x3
+        np.array([[2, 3, 1], [4, 1, 2], [1, 2, 5]]),  # 3x3
+        np.array([[5, 0], [1, 4], [2, 2]]),           # 3x2 with a zero cell
+    ]
+    for tab in cases:
+        got = stats.fisher_exact(tab)
+        want = _fisher_bruteforce(tab)
+        assert np.isclose(got, want, atol=1e-12), tab
+
+
+def test_fisher_rxc_properties():
+    # 2x2 short-circuits to the closed form
+    t22 = np.array([[8, 2], [1, 5]])
+    assert stats.fisher_exact(t22) == stats.fisher_exact_2x2(t22)
+    # transpose invariance (conditional test is symmetric in margins)
+    t = np.array([[3, 1, 4], [1, 5, 2]])
+    assert np.isclose(stats.fisher_exact(t), stats.fisher_exact(t.T), atol=1e-12)
+    # independence-shaped table -> p == 1; strong association -> small p
+    indep = np.array([[10, 20, 30], [10, 20, 30]])
+    assert stats.fisher_exact(indep) > 0.99
+    strong = np.array([[12, 0, 0], [0, 12, 0], [0, 0, 12]])
+    assert stats.fisher_exact(strong) < 1e-6
+
+
+def test_fisher_budget_raises():
+    import pytest as _pytest
+
+    big = np.full((4, 4), 50)
+    with _pytest.raises(stats.FisherBudgetExceeded):
+        stats.fisher_exact(big, max_tables=1000)
+
+
 def test_bh_adjust_r_parity():
     # R: p.adjust(c(.01,.02,.03,.04), "BH") == c(.04,.04,.04,.04)
     out = stats.bh_adjust(np.array([0.01, 0.02, 0.03, 0.04]))
