@@ -595,6 +595,26 @@ FROM events GROUP BY user_id
 # rows-only check; full oracles live in tests/ against pandas/numpy)
 # ---------------------------------------------------------------------------
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal decode: synthesized 24-bit BMP / PCM WAV payloads
+    through the mapInPandas plumbing (pure-numpy codecs; video frame decode
+    stays stubbed -> decode_ok=false). Deterministic synthesis, no external
+    data; rows-only (DuckDB cannot decode media)."""
+    from recipeselectors_spark.operators import multimodal
+
+    pdf = multimodal.synthesize_real_media_pandas(n=60)
+    media = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_media_features(media, fake_decode=False)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "decode_ok",
+        F.round(F.element_at("feat", 1), ROUND).alias("f1"),
+        F.round(F.element_at("feat", 5), ROUND).alias("f5"),
+    )
+
+
 def q_assemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full point-in-time feature matrix (window lag/lead/ffill/sessionize)."""
     from recipeselectors_spark.operators import assembly
@@ -795,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_reg_coefs": q_linear_reg_coefs,
         # rows-only (no SQL oracle)
         "assemble_features": q_assemble_features,
+        "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,

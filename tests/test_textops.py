@@ -238,6 +238,60 @@ def test_multimodal_real_decode_is_stubbed():
         multimodal.decode_image_batch(pd.Series([b"abc"]), fake=False)
 
 
+def test_bmp_codec_roundtrip_and_features():
+    from recipeselectors_spark.functions import codecs
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(7, 5, 3)).astype(np.uint8)
+    back = codecs.decode_bmp(codecs.encode_bmp(rgb))
+    assert (back == rgb).all()
+    # solid-color image: exact known features
+    solid = np.full((4, 8, 3), [10, 20, 30], dtype=np.uint8)
+    f = codecs.image_features(codecs.decode_bmp(codecs.encode_bmp(solid)))
+    assert f[:3] == [10.0, 20.0, 30.0]
+    assert f[3] == 0.0 and f[4] == 8.0 and f[5] == 4.0 and f[6] == 2.0
+    assert f[7] == 0.0  # no edges in a solid image
+
+
+def test_wav_codec_roundtrip_and_features():
+    from recipeselectors_spark.functions import codecs
+
+    rate = 8000
+    t = np.arange(800) / rate
+    s = 0.5 * np.sin(2 * np.pi * 440 * t)
+    back, r2 = codecs.decode_wav(codecs.encode_wav(s, rate))
+    assert r2 == rate
+    np.testing.assert_allclose(back, s, atol=1e-4)  # 16-bit quantization
+    f = codecs.audio_features(back, r2)
+    assert np.isclose(f[4], 0.5 / np.sqrt(2), atol=1e-3)  # sine RMS = A/sqrt2
+    assert np.isclose(f[6], 0.1)  # 800 samples @ 8 kHz
+    assert f[7] == 8000.0
+
+
+def test_compressed_formats_stay_stubbed():
+    from recipeselectors_spark.functions import codecs
+
+    with pytest.raises(NotImplementedError):
+        codecs.decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_bmp(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """decode_ok=True with real feature values for BMP/WAV payloads flowing
+    through the mapInPandas plumbing; video rows stay stubbed (ok=False)."""
+    pdf = multimodal.synthesize_real_media_pandas(n=24)
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.extract_media_features(df, fake_decode=False).toPandas()
+    by_kind = out.groupby("kind")["decode_ok"].all()
+    assert by_kind["image"] and by_kind["audio"]
+    assert not out[out["kind"] == "video"]["decode_ok"].any()
+    img = out[out["kind"] == "image"].iloc[0]
+    assert img["feat"][4] > 0 and img["feat"][5] > 0  # real width/height
+    aud = out[out["kind"] == "audio"].iloc[0]
+    assert aud["feat"][7] == 8000.0  # real sample rate from the RIFF header
+
+
 def test_frame_sample_plan(spark):
     pdf = multimodal.synthesize_media_pandas(n=12)
     df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
