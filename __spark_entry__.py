@@ -616,12 +616,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_assemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full point-in-time feature matrix (window lag/lead/ffill/sessionize)."""
+    """Full point-in-time feature matrix (window lag/ffill/sessionize/rolling
+    on ONE conv_id exchange) — every feature is SQL-expressible, so the whole
+    flagship assembly is oracle-checked end-to-end."""
     from recipeselectors_spark.operators import assembly
     from recipeselectors_spark.sources import transcripts as T
 
     tx = T.events_as_transcripts(spark, sf_dir).drop("value")
-    return assembly.assemble_features(tx)
+    fm = assembly.assemble_features(tx)
+    return fm.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "ts",
+        *[F.round(c, ROUND).alias(c) for c in assembly.FEATURE_COLS],
+        "role",
+    )
 
 
 def q_infgain_mdl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,8 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_scores": q_mrmr_scores,
         "carscore_diag": q_carscore_diag,
         "linear_reg_coefs": q_linear_reg_coefs,
-        # rows-only (no SQL oracle)
         "assemble_features": q_assemble_features,
+        # rows-only (no SQL oracle)
         "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
@@ -959,6 +968,65 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "mrmr_scores": _MRMR_ORACLE,
+        "assemble_features": f"""
+            -- events -> transcript mapping (events_as_transcripts) followed
+            -- by the full assembly: lag features, truncated-epoch deltas,
+            -- 5-row rolling mean, gap-sessionization, tool forward-fill.
+            WITH tx AS (
+              SELECT 'conv-' || CAST(user_id AS varchar) AS conv_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) - 1 AS turn_idx,
+                     event_type AS role,
+                     props AS text,
+                     CASE WHEN event_type='click' THEN 'browser' END AS tool,
+                     ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS es
+              FROM events
+            ),
+            f AS (
+              SELECT conv_id, turn_idx, ts, role,
+                     CAST(length(text) AS double) AS f_text_len,
+                     es - LAG(es) OVER w AS gap,
+                     LAG(CAST(length(text) AS double), 1) OVER w AS f_lag1_len,
+                     LAG(CAST(length(text) AS double), 2) OVER w AS f_lag2_len,
+                     AVG(CAST(length(text) AS double)) OVER
+                       (PARTITION BY conv_id ORDER BY ts, turn_idx
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       AS roll_mean,
+                     ROW_NUMBER() OVER w AS rn,
+                     LAST_VALUE(tool IGNORE NULLS) OVER
+                       (PARTITION BY conv_id ORDER BY ts, turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tool_seen
+              FROM tx
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            g AS (
+              SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END
+                          AS new_sess
+              FROM f
+            ),
+            h AS (
+              SELECT *,
+                     MAX(CASE WHEN new_sess=1 THEN rn END) OVER
+                       (PARTITION BY conv_id ORDER BY ts, turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess_start
+              FROM g
+            )
+            SELECT conv_id, turn_idx, ts,
+                   f_text_len, f_lag1_len, f_lag2_len,
+                   CAST(gap AS double) AS f_delta_ts,
+                   ROUND(roll_mean, {ROUND}) AS f_roll_mean_len,
+                   CAST(rn - sess_start AS double) AS f_sess_turn,
+                   CASE WHEN tool_seen IS NOT NULL THEN 1.0 ELSE 0.0 END
+                     AS f_tool_seen,
+                   CASE WHEN role='assistant' THEN 1.0 ELSE 0.0 END
+                     AS f_is_assistant,
+                   CAST(rn - 1 AS double) AS f_turn_in_conv,
+                   role
+            FROM h
+        """,
         "carscore_diag": f"""
             SELECT 'l_discount' AS feature,
                    ROUND(ABS(corr(l_discount, l_extendedprice)), {ROUND}) AS carscore
