@@ -790,7 +790,130 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     out = S.lsh_ann_topk(corpus, query, k=5, n_planes=4, bands=8)
-    return out.withColumn("cosine", F.round("cosine", 5))
+    return out.withColumn("cosine", F.round("cosine", 5)).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# generated oracles (SQL built in Python so numpy-seeded constants — LSH
+# hyperplanes, stopword inventories — are baked in as literals and can never
+# drift from the Spark implementation)
+# ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    from recipeselectors_spark.functions.text import STOPWORDS
+
+    structs = []
+    for lang in ("en", "de", "fr", "es"):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        structs.append(
+            f"{{'v': length(list_filter(toks, t -> list_contains([{words}], t))), "
+            f"'lang': '{lang}'}}"
+        )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        v AS (
+          -- struct max == Spark array_max over struct<v,lang>: highest vote,
+          -- ties broken by the lexicographically greatest language
+          SELECT doc_id,
+                 list_aggregate([{", ".join(structs)}], 'max') AS m
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN m.v > 0 THEN m.lang ELSE 'und' END AS lang_pred
+        FROM v
+    """
+
+
+def _banded_sql(n_planes: int, bands: int, seed: int, stride: int) -> str:
+    """UNION ALL of per-band sign-signature selects over CTE ``e`` —
+    hyperplanes regenerated from the same numpy seeds as the Spark side."""
+    from recipeselectors_spark.operators.similarity import _hyperplanes
+
+    parts = []
+    for b in range(bands):
+        planes = _hyperplanes(64, n_planes, seed + stride * b)
+        sig = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, "
+            f"[{', '.join(repr(float(v)) for v in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        parts.append(
+            f"SELECT vec_id, emb, {b} AS band, ({sig}) AS bucket FROM e"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _embedding_dedup_oracle() -> str:
+    banded = _banded_sql(n_planes=6, bands=6, seed=42, stride=31)
+    cos = _COS.format(a="ea.emb", b="eb.emb")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        banded AS ({banded}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b USING (band, bucket)
+          WHERE a.vec_id < b.vec_id
+        ),
+        scored AS (
+          SELECT id_a, id_b, {cos} AS cosine
+          FROM cand
+          JOIN e ea ON ea.vec_id = cand.id_a
+          JOIN e eb ON eb.vec_id = cand.id_b
+        )
+        SELECT id_a, id_b, ROUND(cosine, 5) AS cosine
+        FROM scored WHERE cosine >= 0.3
+    """
+
+
+def _lsh_ann_oracle() -> str:
+    banded = _banded_sql(n_planes=4, bands=8, seed=42, stride=97)
+    cos = _COS.format(a="ec.emb", b="eq.emb")
+    return f"""
+        WITH full_e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        corpus_banded AS (
+          WITH e AS (SELECT * FROM full_e WHERE vec_id >= 10)
+          SELECT * FROM ({banded})
+        ),
+        query_banded AS (
+          WITH e AS (SELECT * FROM full_e WHERE vec_id < 3)
+          SELECT * FROM ({banded})
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+          FROM corpus_banded c JOIN query_banded q USING (band, bucket)
+        ),
+        scored AS (
+          SELECT q_id, cand.vec_id, {cos} AS cosine
+          FROM cand
+          JOIN full_e ec ON ec.vec_id = cand.vec_id
+          JOIN full_e eq ON eq.vec_id = cand.q_id
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, ROUND(cosine, 5) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -823,7 +946,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "carscore_diag": q_carscore_diag,
         "linear_reg_coefs": q_linear_reg_coefs,
         "assemble_features": q_assemble_features,
-        # rows-only (no SQL oracle)
+        "langid": q_langid,
+        "lsh_ann": q_lsh_ann,
+        "embedding_dedup": q_embedding_dedup,
+        "bpe_token_count": q_bpe_token_count,
+        # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
+        # Spark-native xxhash64 / per-byte FNV hashing, media decode)
         "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
@@ -831,10 +959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_importance": q_forest_importance,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
-        "langid": q_langid,
-        "lsh_ann": q_lsh_ann,
-        "bpe_token_count": q_bpe_token_count,
-        "embedding_dedup": q_embedding_dedup,
         "fingerprint": q_fingerprint,
     }
 
@@ -1039,6 +1163,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             ORDER BY feature
         """,
+        "langid": _langid_oracle(),
+        "embedding_dedup": _embedding_dedup_oracle(),
+        "lsh_ann": _lsh_ann_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the
