@@ -137,6 +137,8 @@ def hot_conv_shards(
         fraction=sample_frac, seed=seed
     )
     counts = l.unionByName(r).groupBy(on).agg(F.count("*").alias("n"))
+    # two actions on the SAME counts lineage: the second job reuses the
+    # groupBy exchange as a skipped stage, so the inputs are scanned once
     total = counts.agg(F.sum("n")).collect()[0][0] or 0
     cap = skew_factor * total / max(num_shards, 1)
     hot = (
