@@ -595,6 +595,52 @@ FROM events GROUP BY user_id
 # rows-only check; full oracles live in tests/ against pandas/numpy)
 # ---------------------------------------------------------------------------
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality heuristic (length/word-length/punctuation/
+    stopword bands), pure Catalyst."""
+    from recipeselectors_spark.functions import text as TX
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", F.round(TX.quality_score("text"), ROUND).alias("quality")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-shingle Jaccard over a deterministic candidate set (all
+    pairs among doc_id<25). The oracle computes Jaccard on the string
+    shingles directly — identical to the engine's distinct-hash sets absent
+    a 64-bit collision."""
+    from recipeselectors_spark.operators import dedup as D
+
+    docs = _documents(spark, sf_dir).where(F.col("doc_id") < 25)
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    out = D.ngram_jaccard_pairs(docs, pairs)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard")
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-lite ANN top-k (sampled k-means centroids, nprobe cell scan) —
+    rows-only: the centroid sample depends on scan order."""
+    from recipeselectors_spark.operators import similarity as S
+
+    emb = _embeddings(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    query = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = S.ivf_topk(corpus, query, k=5, n_centroids=8, nprobe=4)
+    return out.withColumn("cosine", F.round("cosine", 5)).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode: synthesized 24-bit BMP / PCM WAV payloads
     through the mapInPandas plumbing (pure-numpy codecs; video frame decode
@@ -950,8 +996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "embedding_dedup": q_embedding_dedup,
         "bpe_token_count": q_bpe_token_count,
+        "quality_score": q_quality_score,
+        "ngram_jaccard": q_ngram_jaccard,
         # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
-        # Spark-native xxhash64 / per-byte FNV hashing, media decode)
+        # Spark-native xxhash64 / per-byte FNV hashing, media decode,
+        # scan-order-dependent centroid sampling)
+        "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
@@ -1162,6 +1212,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_tax', ROUND(ABS(corr(l_tax, l_extendedprice)), {ROUND})
             FROM lineitem
             ORDER BY feature
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     length(toks) AS n_tok,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text,
+                       '[^\\w\\s]', '', 'g')) AS n_punct,
+                     length(list_filter(ltoks, t -> list_contains(
+                       ['the','a','and','of','to','in','is','it','that','for'],
+                       t))) AS stop_hits
+              FROM t
+            )
+            SELECT doc_id, ROUND(
+              (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+                * 0.25
+              + (CASE WHEN n_chars / greatest(n_tok, 1) >= 2
+                       AND n_chars / greatest(n_tok, 1) <= 12
+                  THEN 1.0 ELSE 0.0 END) * 0.25
+              + (CASE WHEN n_punct / greatest(n_chars, 1) < 0.3
+                  THEN 1.0 ELSE 0.0 END) * 0.25
+              + (CASE WHEN stop_hits / greatest(n_tok, 1) > 0.005
+                  THEN 1.0 ELSE 0.0 END) * 0.25,
+              {ROUND}) AS quality
+            FROM m
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                CASE WHEN length(toks) >= 3 THEN
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 FOR i IN generate_series(1, length(toks)-2)])
+                ELSE [array_to_string(toks, ' ')] END AS s
+              FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE doc_id < 25
+              )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(length(list_intersect(a.s, b.s))
+                     / length(list_distinct(a.s || b.s)), {ROUND}) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         """,
         "langid": _langid_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),

@@ -7,11 +7,13 @@ pROC::roc at :113 with ``direction="auto"`` ⇒ effectively max(AUC, 1-AUC)
 NA-scored predictors always excluded).
 
 Spark plan (binary, the hot path — pure Catalyst, no Python in the loop):
-melt p numeric predictors → ``groupBy(feature, x).agg(pos, neg)`` (ONE
-shuffle, map-side combined) → window over the per-feature *distinct-value*
-histogram for the cumulative Mann–Whitney rank sum → per-feature AUC. Ties
-use midranks: wins = Σ pos(v)·(cum_neg(<v) + neg(v)/2). The window partitions
-by feature over distinct values only (bounded), not raw rows.
+melt p numeric predictors → ``groupBy(feature, x, y).count()`` (the ONLY
+raw-data pass, map-side combined; the class set is read off this compact
+histogram with shuffle reuse) → re-agg to per-(feature, x) pos/neg weights →
+window over the per-feature *distinct-value* histogram for the cumulative
+Mann–Whitney rank sum → per-feature AUC. Ties use midranks:
+wins = Σ pos(v)·(cum_neg(<v) + neg(v)/2). The window partitions by feature
+over distinct values only (bounded), not raw rows.
 
 Multiclass: same histogram, finished by the numpy Hand–Till kernel on the
 collected per-feature histogram (tiny).
@@ -66,27 +68,32 @@ class RocStep(SelectionStep):
             raise TypeError("step_select_roc requires a nominal outcome")  # :133
 
     def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
-        classes = [
-            r[0]
-            for r in df.select(self.outcome).distinct().collect()
-            if r[0] is not None
-        ]
+        # ONE raw-data pass: aggregate the full (feature, x, y) histogram
+        # first, then read the class set off the compact histogram — the
+        # distinct() action materializes the groupBy exchange and the
+        # downstream AUC job reuses it as a skipped stage (the round-1 form
+        # spent a second full scan on df.select(outcome).distinct()).
+        melted = _scoring.melt_numeric(df, x_names, self.outcome)
+        hist3 = (
+            melted.where(F.col("x").isNotNull() & F.col("y").isNotNull())
+            .groupBy("feature", "x", "y")
+            .agg(F.count("*").alias("n"))
+        )
+        classes = sorted(
+            r[0] for r in hist3.select("y").distinct().collect()
+        )
         if len(classes) == 2:
-            return self._score_binary(df, x_names, sorted(classes))
-        return self._score_multiclass(df, x_names)
+            return self._score_binary(hist3, x_names, classes)
+        return self._score_multiclass(hist3, x_names)
 
     def _score_binary(
-        self, df: DataFrame, x_names: list[str], classes: list[str]
+        self, hist3: DataFrame, x_names: list[str], classes: list[str]
     ) -> dict[str, float]:
         pos = classes[0]
-        melted = _scoring.melt_numeric(df, x_names, self.outcome)
-        hist = (
-            melted.where(F.col("x").isNotNull() & F.col("y").isNotNull())
-            .groupBy("feature", "x")
-            .agg(
-                F.sum(F.when(F.col("y") == pos, 1).otherwise(0)).alias("w_pos"),
-                F.sum(F.when(F.col("y") != pos, 1).otherwise(0)).alias("w_neg"),
-            )
+        # re-agg of the compact histogram (distinct values only), not raw rows
+        hist = hist3.groupBy("feature", "x").agg(
+            F.sum(F.when(F.col("y") == pos, F.col("n")).otherwise(0)).alias("w_pos"),
+            F.sum(F.when(F.col("y") != pos, F.col("n")).otherwise(0)).alias("w_neg"),
         )
         w = Window.partitionBy("feature").orderBy("x")
         cum = hist.withColumn(
@@ -121,9 +128,10 @@ class RocStep(SelectionStep):
                 out[c] = float(a)
         return out
 
-    def _score_multiclass(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
-        pdf = _scoring.class_histogram(df, x_names, self.outcome)
-        pdf = pdf[(~pdf["x"].isna()) & (~pdf["y"].isna())]
+    def _score_multiclass(
+        self, hist3: DataFrame, x_names: list[str]
+    ) -> dict[str, float]:
+        pdf = hist3.toPandas()
         out: dict[str, float] = {c: float("nan") for c in x_names}
         for feat, g in pdf.groupby("feature"):
             tab = g.pivot_table(
