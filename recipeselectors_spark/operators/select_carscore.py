@@ -24,14 +24,20 @@ from recipeselectors_spark.operators import _scoring
 from recipeselectors_spark.plans.step import SelectionStep
 
 
-def _moment_stats(
-    df: DataFrame, cols: list[str]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """One sufficient-stats pass: (corr, means, pop-variances, n)."""
+# Above this feature count the p²/2 Catalyst agg expressions stop being a
+# good idea (codegen size scales with p²); switch to one numpy matmul per
+# Arrow batch with per-partition partial sums.
+BLOCK_THRESHOLD = 64
+
+
+def _moment_sums_agg(df: DataFrame, cols: list[str]):
+    """(n, Σx (p), Σ x·xᵀ (p×p)) via Catalyst agg expressions — ideal at
+    small p (whole-stage codegen, map-side combine)."""
+    p = len(cols)
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i, a in enumerate(cols):
         aggs.append(F.sum(F.col(a).cast("double")).alias(f"s_{i}"))
-        for j in range(i, len(cols)):
+        for j in range(i, p):
             b = cols[j]
             aggs.append(
                 F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(
@@ -40,13 +46,58 @@ def _moment_stats(
             )
     row = df.agg(*aggs).collect()[0].asDict()
     n = int(row["__n__"])
-    p = len(cols)
     s = np.array([row[f"s_{i}"] for i in range(p)], dtype=float)
-    means = s / n
-    cov = np.empty((p, p))
+    P = np.empty((p, p))
     for i in range(p):
         for j in range(i, p):
-            cov[i, j] = cov[j, i] = row[f"p_{i}_{j}"] / n - means[i] * means[j]
+            P[i, j] = P[j, i] = row[f"p_{i}_{j}"]
+    return n, s, P
+
+
+def _moment_sums_block(df: DataFrame, cols: list[str]):
+    """Same sums via mapInPandas: one BLAS matmul per Arrow batch, one
+    partial-sum row per PARTITION collected to the driver (bounded by the
+    partition count, not the row count). This is how the pass survives
+    p ≈ 1000, where the agg form would emit ~500k codegen expressions."""
+    import pandas as pd
+
+    p = len(cols)
+
+    def part(batches):
+        n = 0
+        s = np.zeros(p)
+        P = np.zeros((p, p))
+        for pdf in batches:
+            x = pdf.to_numpy(dtype=float)
+            n += len(x)
+            s += x.sum(axis=0)
+            P += x.T @ x
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "pp": [P.ravel().tolist()]}
+        )
+
+    rows = (
+        df.select(*[F.col(c).cast("double") for c in cols])
+        .mapInPandas(part, schema="n long, s array<double>, pp array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    P = np.sum([np.array(r["pp"]).reshape(p, p) for r in rows], axis=0)
+    return n, s, P
+
+
+def _moment_stats(
+    df: DataFrame, cols: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """One sufficient-stats pass: (corr, means, pop-variances, n)."""
+    p = len(cols)
+    if p > BLOCK_THRESHOLD:
+        n, s, P = _moment_sums_block(df, cols)
+    else:
+        n, s, P = _moment_sums_agg(df, cols)
+    means = s / n
+    cov = P / n - np.outer(means, means)
     var_pop = np.maximum(np.diag(cov).copy(), 1e-300)
     d = np.sqrt(var_pop)
     return cov / np.outer(d, d), means, var_pop, n
@@ -64,9 +115,30 @@ def _pair_w2_matrix(
     var_samp: np.ndarray,
 ) -> np.ndarray:
     """Σ_k z_ki²·z_kj² for every feature pair i<j — the single extra moment
-    the Schäfer–Strimmer λ estimator needs. One map-side-combined agg pass;
-    output is p²-sized (driver-safe)."""
+    the Schäfer–Strimmer λ estimator needs. One bounded-output pass; agg
+    expressions at small p, per-partition numpy matmuls (Σ c²ᵀc² with
+    c = x−mean) above BLOCK_THRESHOLD."""
+    import pandas as pd
+
     p = len(cols)
+    if p > BLOCK_THRESHOLD:
+        m = np.asarray(means, dtype=float)
+
+        def part(batches):
+            W = np.zeros((p, p))
+            for pdf in batches:
+                c2 = (pdf.to_numpy(dtype=float) - m) ** 2
+                W += c2.T @ c2
+            yield pd.DataFrame({"w": [W.ravel().tolist()]})
+
+        rows = (
+            df.select(*[F.col(c).cast("double") for c in cols])
+            .mapInPandas(part, schema="w array<double>")
+            .collect()
+        )
+        W = np.sum([np.array(r["w"]).reshape(p, p) for r in rows], axis=0)
+        return W / np.outer(var_samp, var_samp)
+
     centered = [
         (F.col(c).cast("double") - F.lit(float(means[i])))
         for i, c in enumerate(cols)

@@ -223,6 +223,20 @@ def test_carscore_differs_from_marginal_on_correlated_block(cars):
     )
 
 
+def test_carscore_block_path_matches_agg_path(cars, monkeypatch):
+    """Above BLOCK_THRESHOLD the moment pass switches from p² Catalyst agg
+    expressions to per-partition numpy matmuls — results must be identical
+    (forced here by dropping the threshold to 1)."""
+    from recipeselectors_spark.operators import select_carscore as SC
+
+    pdf, df = cars
+    agg = CarScoreStep("price", top_p=4).prep(df).scores
+    monkeypatch.setattr(SC, "BLOCK_THRESHOLD", 1)
+    block = CarScoreStep("price", top_p=4).prep(df).scores
+    for c in fixtures.CAR_X:
+        assert np.isclose(agg[c], block[c], rtol=1e-10), c
+
+
 def test_carscore_rejects_nominal_outcome(iris):
     pdf, df = iris
     with pytest.raises(TypeError):
