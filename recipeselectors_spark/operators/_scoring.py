@@ -82,12 +82,39 @@ def learn_numeric_cuts(
     sample_frac: float | None = None,
     seed: int = 42,
 ) -> dict[str, list[float]]:
-    """Learn per-feature cut points with ONE applyInPandas pass over the
-    melted frame (small output: p rows of cut arrays). ``sample_frac``
+    """Learn per-feature cut points in one pass over the melted frame
+    (small output: p rows of cut arrays).
+
+    ``method="equal"`` is pure Catalyst: ``percentile(x, qs)`` per feature —
+    Spark's exact percentile interpolates identically to
+    ``np.quantile(method="linear")`` (R type-7 / DuckDB quantile_cont), is
+    map-side combined over value-count maps, and never funnels a feature's
+    whole column into one Python group. ``method="mdl"`` (recursive entropy
+    partitioning) keeps the applyInPandas kernel; there ``sample_frac``
     bounds per-feature group memory at scale."""
     melted = melt_numeric(df, x_names, outcome)
     if sample_frac is not None:
         melted = melted.sample(fraction=sample_frac, seed=seed)
+
+    if method == "equal":
+        if bins < 2:
+            return {c: [] for c in x_names}
+        qs = [float(q) for q in np.linspace(0.0, 1.0, bins + 1)[1:-1]]
+        rows = (
+            melted.where(F.col("x").isNotNull())
+            .groupBy("feature")
+            .agg(F.percentile("x", F.lit(qs).cast("array<double>")).alias("qs"))
+            .collect()
+        )
+        out: dict[str, list[float]] = {}
+        for r in rows:
+            cuts: list[float] = []
+            for q in r["qs"] or []:
+                # strictly-increasing dedup, as in equal_freq_cut_points
+                if q is not None and (not cuts or q > cuts[-1]):
+                    cuts.append(float(q))
+            out[r["feature"]] = cuts
+        return out
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         feat = pdf["feature"].iloc[0]
