@@ -59,14 +59,6 @@ def melt_nominal(df: DataFrame, x_names: list[str], outcome: str) -> DataFrame:
     )
 
 
-def class_histogram(df: DataFrame, x_names: list[str], outcome: str) -> pd.DataFrame:
-    """Per-(feature, value, class) counts for *numeric* features, collected.
-    One shuffle; map-side combine bounds the shuffle to distinct cells."""
-    melted = melt_numeric(df, x_names, outcome)
-    agg = melted.groupBy("feature", "x", "y").agg(F.count("*").alias("n"))
-    return agg.toPandas()
-
-
 def nominal_contingency(df: DataFrame, x_names: list[str], outcome: str) -> pd.DataFrame:
     melted = melt_nominal(df, x_names, outcome)
     agg = melted.groupBy("feature", "x", "y").agg(F.count("*").alias("n"))
