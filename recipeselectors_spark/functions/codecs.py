@@ -94,7 +94,7 @@ def decode_bmp(buf: bytes) -> np.ndarray:
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """16-bit PCM mono WAV from float samples in [-1, 1]."""
     s = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm = (s * 32767.0).astype("<i2").tobytes()
+    pcm = np.round(s * 32767.0).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm

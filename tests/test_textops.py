@@ -336,3 +336,38 @@ def test_roc_direction_fixed(spark):
     fixed = RocStep("y", top_p=1, direction="fixed").prep(df).scores["x"]
     # class 'a' (first) has LOW x => raw AUC 0, auto flips to 1
     assert auto == 1.0 and fixed == 0.0
+
+
+def test_codec_roundtrip_properties():
+    from hypothesis import given, settings, strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from recipeselectors_spark.functions import codecs
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+        )
+    )
+    def bmp_roundtrip(rgb):
+        assert (codecs.decode_bmp(codecs.encode_bmp(rgb)) == rgb).all()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arrays(
+            np.float64,
+            st.integers(1, 500),
+            elements=st.floats(-1.0, 1.0, width=64),
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_roundtrip(samples, rate):
+        back, r = codecs.decode_wav(codecs.encode_wav(samples, rate))
+        assert r == rate and len(back) == len(samples)
+        # round(32767·s)/32768: 0.5 LSB rounding + 1/32768 scale skew
+        np.testing.assert_allclose(back, samples, rtol=0, atol=1.6 / 32768)
+
+    bmp_roundtrip()
+    wav_roundtrip()
