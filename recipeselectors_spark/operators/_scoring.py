@@ -81,9 +81,13 @@ def learn_numeric_cuts(
     Spark's exact percentile interpolates identically to
     ``np.quantile(method="linear")`` (R type-7 / DuckDB quantile_cont), is
     map-side combined over value-count maps, and never funnels a feature's
-    whole column into one Python group. ``method="mdl"`` (recursive entropy
-    partitioning) keeps the applyInPandas kernel; there ``sample_frac``
-    bounds per-feature group memory at scale."""
+    whole column into one Python group. ``method="mdl"`` (Fayyad–Irani
+    recursive entropy partitioning) aggregates to the per-(feature, value,
+    class) count histogram first — one map-side-combined shuffle — and runs
+    the MDLP kernel over DISTINCT-VALUE-sized groups
+    (discretize.mdl_cut_points_hist), never raw rows; ``sample_frac``
+    additionally bounds distinct-value cardinality for continuous features
+    at extreme scale."""
     melted = melt_numeric(df, x_names, outcome)
     if sample_frac is not None:
         melted = melted.sample(fraction=sample_frac, seed=seed)
@@ -108,22 +112,34 @@ def learn_numeric_cuts(
             out[r["feature"]] = cuts
         return out
 
+    if method != "mdl":
+        raise ValueError(f"unknown cut-learning method {method!r}")
+
+    hist = (
+        melted.where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("feature", "x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         feat = pdf["feature"].iloc[0]
-        x = pdf["x"].to_numpy(dtype=float)
-        if method == "mdl":
-            y, _ = pd.factorize(pdf["y"], sort=True)
-            cuts = discretize.mdl_cut_points(x, y)
-        else:
-            cuts = discretize.equal_freq_cut_points(x, bins=bins)
+        piv = pdf.pivot_table(
+            index="x", columns="y", values="n", aggfunc="sum", fill_value=0
+        ).sort_index()
+        cuts = discretize.mdl_cut_points_hist(
+            piv.index.to_numpy(dtype=float), piv.to_numpy(np.int64)
+        )
         return pd.DataFrame({"feature": [feat], "cuts": [cuts]})
 
     out = (
-        melted.groupBy("feature")
+        hist.groupBy("feature")
         .applyInPandas(kernel, schema="feature string, cuts array<double>")
         .collect()
     )
-    return {r["feature"]: list(r["cuts"]) for r in out}
+    found = {r["feature"]: list(r["cuts"]) for r in out}
+    # features with no non-null (x, y) rows still get an (empty) entry so
+    # downstream binning keeps them (single-bin semantics)
+    return {c: found.get(c, []) for c in x_names}
 
 
 def binned_joint_counts(

@@ -204,3 +204,40 @@ def test_equal_freq_cuts():
     assert len(cuts) == 3
     codes = apply_cut_points(x, cuts)
     assert set(codes) == {0, 1, 2, 3}
+
+
+def test_mdl_hist_kernel_equals_row_kernel():
+    """The histogram MDLP kernel (production path: runs on the compacted
+    per-value class counts) must produce exactly the row formulation's
+    cuts — including heavy ties and multiclass."""
+    from hypothesis import given, settings, strategies as st
+
+    from recipeselectors_spark.functions import discretize as D
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 2)),
+            min_size=2, max_size=200,
+        )
+    )
+    def check(rows):
+        x = np.array([r[0] for r in rows], dtype=float)
+        y = np.array([r[1] for r in rows], dtype=np.int64)
+        assert D.mdl_cut_points(x, y) == D.mdl_cut_points_rows(x, y)
+
+    check()
+
+
+def test_mdl_known_split():
+    from recipeselectors_spark.functions import discretize as D
+
+    # perfectly separable: one cut between the classes
+    x = np.array([1.0] * 30 + [5.0] * 30)
+    y = np.array([0] * 30 + [1] * 30)
+    assert D.mdl_cut_points(x, y) == [3.0]
+    # pure noise: MDLP accepts no cut
+    rng = np.random.default_rng(0)
+    xn = rng.normal(size=200)
+    yn = rng.integers(0, 2, size=200)
+    assert D.mdl_cut_points(xn, yn) == []
