@@ -109,6 +109,29 @@ def minhash_candidates(
     )
 
 
+def cap_buckets(
+    banded: DataFrame,
+    max_bucket: int | None,
+    keys: tuple[str, str] = ("band", "bucket"),
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` BEFORE the bucket
+    self-join. On boilerplate-heavy corpora a single degenerate bucket
+    (thousands of near-identical docs) makes the self-join quadratic; the
+    standard mitigation is to exact-dedup first and cap the rest. The count
+    window hash-partitions on the same keys as the join, so Catalyst reuses
+    one exchange. ``None`` (default) keeps every bucket."""
+    if max_bucket is None:
+        return banded
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        banded.withColumn("__bsz__", F.count("*").over(w))
+        .where(F.col("__bsz__") <= max_bucket)
+        .drop("__bsz__")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -118,16 +141,20 @@ def minhash_dedup_pairs(
     k_shingle: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     Candidates from LSH buckets; the estimated Jaccard is the fraction of
     matching minhash components — verification never leaves the bucket join.
+    ``max_bucket`` bounds the per-bucket join fan-out (see cap_buckets).
     """
     sigs = with_minhash(
         df.select(id_col, text_col), text_col, num_perm, k_shingle, seed
     ).select(id_col, "minhash")
-    cand = minhash_candidates(sigs, id_col, "minhash", bands)
+    cand = cap_buckets(
+        minhash_candidates(sigs, id_col, "minhash", bands), max_bucket
+    )
     pairs = (
         cand.alias("a")
         .join(cand.alias("b"), ["band", "bucket"])
@@ -197,6 +224,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     generate candidates (pure Catalyst sign-signatures, one explode+shuffle),
@@ -208,9 +236,12 @@ def embedding_near_dup_pairs(
     renamed = df.select(id_col, F.col(vec_col).alias("__v__"))
     # planes ship as one broadcast array column (codegen-safe at dim 768+),
     # all bands in a single pass — see similarity.with_band_buckets
-    banded = S.with_band_buckets(
-        renamed, "__v__", [id_col, "__v__"], dim, n_planes, bands, seed,
-        stride=31,
+    banded = cap_buckets(
+        S.with_band_buckets(
+            renamed, "__v__", [id_col, "__v__"], dim, n_planes, bands, seed,
+            stride=31,
+        ),
+        max_bucket,
     )
     cand = (
         banded.alias("a")
@@ -266,10 +297,14 @@ def with_simhash(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the 64-bit SimHash (any of
-    4 bands) — standard Hamming-LSH banding, one explode + shuffle."""
+    4 bands) — standard Hamming-LSH banding, one explode + shuffle.
+    ``max_bucket`` bounds the per-bucket join fan-out (see cap_buckets)."""
     sig = with_simhash(df.select(id_col, text_col), text_col)
     bands = F.array(
         *[
@@ -282,9 +317,12 @@ def simhash_near_dup_pairs(
             for i in range(4)
         ]
     )
-    exploded = sig.select(
-        id_col, "simhash", F.explode(bands).alias("bb")
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    exploded = cap_buckets(
+        sig.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+            id_col, "simhash", "bb.band", "bb.bucket"
+        ),
+        max_bucket,
+    )
     return (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "bucket"])

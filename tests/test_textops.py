@@ -371,3 +371,25 @@ def test_codec_roundtrip_properties():
 
     bmp_roundtrip()
     wav_roundtrip()
+
+
+def test_cap_buckets_bounds_degenerate_fanout(spark):
+    """50 identical docs put all ids in one LSH bucket per band — the
+    uncapped join is quadratic; max_bucket drops the degenerate bucket
+    while distinct small-bucket pairs still surface."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(52),
+            "text": ["the same boilerplate text repeated again and again"] * 50
+            + ["a unique document about gardens and rivers today ok",
+               "a unique document about gardens and rivers today ok"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    capped = dedup.minhash_dedup_pairs(df, threshold=0.5, max_bucket=10).toPandas()
+    # the giant bucket (50 ids) is dropped; the small pair (50, 51) survives
+    assert (50, 51) in set(zip(capped["id_a"], capped["id_b"]))
+    assert not ((capped["id_a"] < 50) & (capped["id_b"] < 50)).any()
+    # default (None) keeps everything: 50*49/2 pairs among the clones
+    full = dedup.minhash_dedup_pairs(df, threshold=0.5).toPandas()
+    assert ((full["id_a"] < 50) & (full["id_b"] < 50)).sum() == 50 * 49 // 2
