@@ -191,15 +191,24 @@ def asof_join_cogroup(
     num_shards: int | None = None,
     sample_frac: float | None = None,
     direction: str = "backward",
+    hot_pdf: pd.DataFrame | None = None,
 ) -> DataFrame:
-    """General sorted-merge as-of join over salt-balanced conv_id shards."""
+    """General sorted-merge as-of join over salt-balanced conv_id shards.
+
+    ``hot_pdf`` (a frame from :func:`hot_conv_shards`) can be passed in to
+    reuse a previously computed hot-key map across repeated joins on the
+    same conversation universe — skipping the detection count pass. Shard
+    assignment never affects the OUTPUT rows (conversations are whole
+    either way), only balance.
+    """
     spark = spine.sparkSession
     if num_shards is None:
         num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    hot_pdf = hot_conv_shards(
-        spine, features, num_shards, on=on, sample_frac=sample_frac
-    )
+    if hot_pdf is None:
+        hot_pdf = hot_conv_shards(
+            spine, features, num_shards, on=on, sample_frac=sample_frac
+        )
 
     def _fresh(df: DataFrame) -> DataFrame:
         # re-alias every column: fresh expression IDs, so two sides sharing
