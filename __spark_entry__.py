@@ -595,6 +595,24 @@ FROM events GROUP BY user_id
 # rows-only check; full oracles live in tests/ against pandas/numpy)
 # ---------------------------------------------------------------------------
 
+def q_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup keep-list: one representative (min doc_id) per text hash
+    via a single md5-partitioned window."""
+    from recipeselectors_spark.operators import dedup as D
+
+    out = D.drop_exact_duplicates(_documents(spark, sf_dir))
+    return out.select("doc_id", F.md5("text").alias("text_hash"))
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus dedup composition (exact-first, then MinHash near-dup on
+    representatives, keep-first). Rows-only: MinHash uses Spark xxhash64."""
+    from recipeselectors_spark.operators import dedup as D
+
+    out = D.dedup_corpus(_documents(spark, sf_dir), threshold=0.8)
+    return out.select("doc_id")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality heuristic (length/word-length/punctuation/
     stopword bands), pure Catalyst."""
@@ -998,9 +1016,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_drop": q_dedup_drop,
         # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
         # Spark-native xxhash64 / per-byte FNV hashing, media decode,
         # scan-order-dependent centroid sampling)
+        "dedup_corpus": q_dedup_corpus,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
@@ -1212,6 +1232,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_tax', ROUND(ABS(corr(l_tax, l_extendedprice)), {ROUND})
             FROM lineitem
             ORDER BY feature
+        """,
+        "dedup_drop": """
+            SELECT doc_id, md5(text) AS text_hash
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1
         """,
         "quality_score": f"""
             WITH t AS (

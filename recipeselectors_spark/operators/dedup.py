@@ -109,6 +109,45 @@ def minhash_candidates(
     )
 
 
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ONE representative (smallest id) per exact text hash — a single
+    md5-partitioned window (one exchange), no join back."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """The standard pretraining-corpus dedup composition: exact-dedup FIRST
+    (kills the degenerate LSH buckets that make the pair join quadratic),
+    then MinHash-LSH near-dup on the representatives, dropping the larger id
+    of each near-dup pair (keep-first approximation of the duplicate
+    clusters — full transitive closure is an iterative union-find, out of
+    scope for one pass). Returns the deduplicated corpus."""
+    uniq = drop_exact_duplicates(df, text_col, id_col)
+    pairs = minhash_dedup_pairs(
+        uniq, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, threshold=threshold, max_bucket=max_bucket,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return uniq.join(losers, id_col, "left_anti")
+
+
 def cap_buckets(
     banded: DataFrame,
     max_bucket: int | None,

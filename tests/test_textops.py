@@ -393,3 +393,16 @@ def test_cap_buckets_bounds_degenerate_fanout(spark):
     # default (None) keeps everything: 50*49/2 pairs among the clones
     full = dedup.minhash_dedup_pairs(df, threshold=0.5).toPandas()
     assert ((full["id_a"] < 50) & (full["id_b"] < 50)).sum() == 50 * 49 // 2
+
+
+def test_dedup_corpus_composition(docs):
+    """Exact-first corpus dedup: clones collapse to one representative,
+    near-dups drop the larger id, originals survive."""
+    out = dedup.dedup_corpus(docs, threshold=0.5).toPandas()
+    ids = set(out["doc_id"])
+    # exact clones (base+100000) never survive — exact phase kills them
+    assert not any(i >= 100000 and i < 200000 for i in ids)
+    # near-dup clones (base+200000, one extra token) lose to the original
+    assert not any(i >= 200000 for i in ids if i - 200000 in ids)
+    # at least the three originals survive
+    assert {0, 1, 2} <= ids
