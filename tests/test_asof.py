@@ -147,3 +147,81 @@ def test_salted_equi_join(spark, frames):
     )
     got = asof.salted_equi_join(f, dim, salt=4).count()
     assert got == len(features)
+
+
+def test_asof_empty_features(spark, frames):
+    """No feature rows at all: every spine row survives with NULL values."""
+    spine, features = frames
+    s = spark.createDataFrame(spine)
+    f = spark.createDataFrame(
+        features.head(0),
+        schema="conv_id string, ts timestamp_ntz, v1 double, v2 double",
+    )
+    for got in (
+        asof.asof_join_union(s, f, ["v1", "v2"]).toPandas(),
+        asof.asof_join_cogroup(s, f, ["v1", "v2"], num_shards=4).toPandas(),
+    ):
+        assert len(got) == len(spine)
+        assert got["v1"].isna().all() and got["v2"].isna().all()
+
+
+def test_asof_hypothesis_vs_merge_asof(spark):
+    """Randomized conversations with heavy ts ties and tiny/empty sides:
+    both strategies must match pandas merge_asof exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(0, 3),        # conv
+            st.integers(0, 20),       # ts seconds (ties likely)
+            st.integers(-5, 5),       # value
+        ),
+        min_size=0, max_size=25,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(spine_rows=rows, feat_rows=rows)
+    def check(spine_rows, feat_rows):
+        base = pd.Timestamp("2026-03-01")
+
+        def mk(rs, val_col):
+            pdf = pd.DataFrame(
+                {
+                    "conv_id": [f"c{r[0]}" for r in rs],
+                    "ts": [base + pd.Timedelta(seconds=r[1]) for r in rs],
+                    val_col: [float(r[2]) for r in rs],
+                }
+            )
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            return pdf
+
+        spine = mk(spine_rows, "label")
+        feats = mk(feat_rows, "v1")
+        # merge_asof ties among equal feature ts pick the LAST sorted row;
+        # make (conv, ts) unique on the feature side so the carried row is
+        # well-defined in all three implementations
+        feats = feats.drop_duplicates(["conv_id", "ts"], keep="last")
+        if len(spine) == 0:
+            return
+        s = spark.createDataFrame(spine)
+        f = spark.createDataFrame(
+            feats, schema="conv_id string, ts timestamp_ntz, v1 double"
+        )
+        if len(feats):
+            want = oracles.asof_join(spine, feats, ["v1"])
+        else:  # merge_asof chokes on empty object-dtype keys
+            want = spine.copy()
+            want["v1"] = np.nan
+        got_u = asof.asof_join_union(s, f, ["v1"]).toPandas()
+        got_c = asof.asof_join_cogroup(s, f, ["v1"], num_shards=3).toPandas()
+        for got in (got_u, got_c):
+            a = got.sort_values(["conv_id", "ts", "label"], kind="mergesort").reset_index(drop=True)
+            b = want.sort_values(["conv_id", "ts", "label"], kind="mergesort").reset_index(drop=True)
+            assert len(a) == len(b)
+            np.testing.assert_allclose(
+                a["v1"].to_numpy(dtype=float),
+                b["v1"].to_numpy(dtype=float),
+                equal_nan=True,
+            )
+
+    check()
