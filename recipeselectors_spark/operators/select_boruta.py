@@ -154,5 +154,12 @@ class BorutaStep(SelectionStep):
             mean_imp,
             self.skip,
             params={"p_value": self.p_value, "runs": runs},
-            extras={"decision": decision, "hits": hits},
+            # imp_history mirrors Boruta's ImpHistory (one row per run,
+            # real importances + the run's max shadow importance) — the
+            # reference keeps the full Boruta result in res (:129)
+            extras={
+                "decision": decision,
+                "hits": hits,
+                "imp_history": imp_history,
+            },
         )

@@ -165,3 +165,8 @@ def test_boruta_deterministic(cells):
     b = BorutaStep("class", terms=sub, max_runs=6, trees=20, seed=5).prep(df)
     assert a.exclude == b.exclude
     assert a.extras["hits"] == b.extras["hits"]
+    # ImpHistory analogue: one record per run, real + shadow-max columns
+    hist = a.extras["imp_history"]
+    assert len(hist) == a.params["runs"]
+    assert all(set(sub) | {"__shadow_max__"} == set(h) for h in hist)
+    assert hist == b.extras["imp_history"]
