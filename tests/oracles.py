@@ -84,6 +84,7 @@ def asof_join(
     on: str = "conv_id",
     ts: str = "ts",
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> pd.DataFrame:
     tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
     return pd.merge_asof(
@@ -91,7 +92,7 @@ def asof_join(
         features[[on, ts] + value_cols].sort_values([ts, on], kind="mergesort"),
         on=ts,
         by=on,
-        direction="backward",
+        direction=direction,
         tolerance=tol,
         allow_exact_matches=True,
     )

@@ -225,3 +225,16 @@ def test_asof_hypothesis_vs_merge_asof(spark):
             )
 
     check()
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_cogroup_direction_variants(spark, frames, direction):
+    """The cogroup path supports forward/nearest as-of semantics (the
+    union-window form is backward-only by construction)."""
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    got = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], num_shards=4, direction=direction
+    ).toPandas()
+    want = oracles.asof_join(spine, features, ["v1", "v2"], direction=direction)
+    _check(got, want)
