@@ -7,8 +7,12 @@ DataFrame); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the
 same parquet views. Column names and rounding are matched on both sides
 (driver compare is order-insensitive value-hash over name-sorted columns).
 
-Non-SQL-expressible operators (MDL infgain, mRMR greedy, model-based steps,
-boruta, minhash-LSH) are exposed as rows-only checks (no oracle entry).
+Non-SQL-expressible operators (MDL infgain, iterative MLlib fits — GBT/RF/
+logit — boruta runs, xxhash64 minhash shingles, media decode) are exposed as
+rows-only checks (no oracle entry). Deterministic pure functions of the data
+get GENERATED oracles even when they need constants (LSH planes, 257-powers)
+or data-driven derivations (IVF centroids recomputed in SQL from the
+md5-ordered sample).
 """
 
 from __future__ import annotations
@@ -644,8 +648,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-lite ANN top-k (sampled k-means centroids, nprobe cell scan) —
-    rows-only: the centroid sample depends on scan order."""
+    """IVF-lite ANN top-k. The centroid-training sample is content-
+    deterministic (md5-ordered — similarity.ivf_sample), and kmeans_iters=0
+    takes the first n_centroids sample vectors as centroids (random-vector
+    IVF init, no floating-point averaging) — so the ENTIRE pipeline is a
+    pure function of the data and the DuckDB oracle recomputes the sample,
+    the centroids, the cell assignment, and the probe scan from the table
+    itself at any scale factor."""
     from recipeselectors_spark.operators import similarity as S
 
     emb = _embeddings(spark, sf_dir)
@@ -653,7 +662,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = S.ivf_topk(corpus, query, k=5, n_centroids=8, nprobe=4)
+    out = S.ivf_topk(corpus, query, k=5, n_centroids=8, nprobe=4, kmeans_iters=0)
     return out.withColumn("cosine", F.round("cosine", 5)).withColumn(
         "rank", F.col("rank").cast("bigint")
     )
@@ -793,6 +802,116 @@ def q_forest_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).prep(df)
     rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
     return spark.createDataFrame(rows, "feature string, importance double")
+
+
+def q_tree_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree importance (TreeStep, step_select_tree.R:134-195). At
+    depth 1 the importance vector is {split feature: 100, other: 0} after
+    the 0-100 rescale, and with maxBins >= distinct values MLlib's split
+    candidates are exactly the midpoints of consecutive distinct values —
+    so the oracle can recompute the root split as an argmax over candidate
+    thresholds of the weighted variance reduction, entirely in SQL."""
+    from recipeselectors_spark.operators import TreeStep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    fitted = TreeStep(
+        "l_extendedprice",
+        terms=["l_quantity", "l_discount"],
+        top_p=1,
+        tree_depth=1,
+        max_bins=1000,
+    ).prep(li)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
+_TREE_ORACLE = """
+-- depth-1 DecisionTreeRegressor: the split feature is the argmax over
+-- (feature, threshold) of the variance gain; thresholds are midpoints of
+-- consecutive distinct values (MLlib findSplitsForContinuousFeature with
+-- maxBins >= #distinct). featureImportances at depth 1 = [1, 0] for the
+-- split feature, rescaled 0-100 by pull_importances.
+WITH melted AS (
+  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DOUBLE),
+         CAST(l_extendedprice AS DOUBLE)
+  FROM lineitem
+),
+dv AS (
+  SELECT feature, x, COUNT(*)::DOUBLE AS n, SUM(y) AS s, SUM(y*y) AS ss
+  FROM melted GROUP BY feature, x
+),
+thr AS (
+  SELECT feature, (x + LEAD(x) OVER (PARTITION BY feature ORDER BY x))/2 AS t
+  FROM dv QUALIFY t IS NOT NULL
+),
+tots AS (
+  SELECT feature, SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst
+  FROM dv GROUP BY feature
+),
+gains AS (
+  SELECT thr.feature, thr.t,
+    (tots.sst/tots.nt - (tots.st/tots.nt)^2)
+    - (SUM(dv.n)/tots.nt)
+      * (SUM(dv.ss)/SUM(dv.n) - (SUM(dv.s)/SUM(dv.n))^2)
+    - ((tots.nt-SUM(dv.n))/tots.nt)
+      * ((tots.sst-SUM(dv.ss))/(tots.nt-SUM(dv.n))
+         - ((tots.st-SUM(dv.s))/(tots.nt-SUM(dv.n)))^2)
+    AS gain
+  FROM thr
+  JOIN dv ON dv.feature = thr.feature AND dv.x <= thr.t
+  JOIN tots ON tots.feature = thr.feature
+  GROUP BY thr.feature, thr.t, tots.nt, tots.st, tots.sst
+),
+best AS (SELECT feature FROM gains ORDER BY gain DESC, feature LIMIT 1)
+SELECT f.feature,
+       CASE WHEN f.feature = (SELECT feature FROM best)
+            THEN 100.0 ELSE 0.0 END AS importance
+FROM (SELECT DISTINCT feature FROM melted) f
+ORDER BY f.feature
+"""
+
+
+def q_vip_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIP step with a user-supplied MLlib estimator (step_select_vip.R:
+    120-162) through the pull_importances registry. Rows-only: GBT is an
+    iterative MLlib fit."""
+    from pyspark.ml.regression import GBTRegressor
+
+    from recipeselectors_spark.operators import VipStep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    fitted = VipStep(
+        "l_extendedprice",
+        model=GBTRegressor(maxIter=5, maxDepth=3, seed=42),
+        terms=["l_quantity", "l_discount"],
+        top_p=1,
+    ).prep(li)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
+def q_boruta_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruta all-relevant decisions (step_select_boruta.R:97-133,
+    Boruta:::TestFeatures semantics). Rows-only: per-run RF importances are
+    not SQL-expressible; decision stability is pinned by pytest on seeded
+    signal/noise frames."""
+    from recipeselectors_spark.operators import BorutaStep
+
+    df = _feature_frame(spark, sf_dir)
+    fitted = BorutaStep(
+        "y", terms=["value", "props_len"], max_runs=9, trees=20, seed=42
+    ).prep(df)
+    dec = fitted.extras["decision"]
+    rows = [(k, dec[k]) for k in sorted(dec)]
+    return spark.createDataFrame(rows, "feature string, decision string")
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -980,6 +1099,139 @@ def _lsh_ann_oracle() -> str:
     """
 
 
+# FNV-1a 64-bit over a byte list (functions/text.py:hash_str64) as a DuckDB
+# expression: HUGEINT arithmetic mod 2^64, init value prepended (DuckDB 1.0's
+# list_reduce takes no initial accumulator). Documents are ASCII, so
+# unicode(char) == the UTF-8 byte.
+_FNV64 = (
+    "list_reduce([14695981039346656037::HUGEINT] || [b::HUGEINT FOR b IN {bytes}], "
+    "(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) "
+    "% 18446744073709551616::HUGEINT)"
+)
+
+
+def _simhash_oracle() -> str:
+    """64-bit SimHash (functions/text.py:simhash64): FNV-1a per lowercased
+    whitespace token, per-bit +/-1 votes over all tokens (duplicates
+    included), bit i set iff votes > 0; the uint64 signature reinterpreted
+    as int64 (numpy astype wrap)."""
+    tok_bytes = "[unicode(tok[i]) FOR i IN generate_series(1, length(tok))]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x != '') AS toks
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id, {_FNV64.format(bytes=tok_bytes)} AS h
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        ),
+        votes AS (
+          SELECT doc_id, i,
+                 SUM(CASE WHEN (h >> i) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th CROSS JOIN generate_series(0, 63) g(i)
+          GROUP BY doc_id, i
+        ),
+        sig AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN v > 0 THEN (1::HUGEINT << i)
+                          ELSE 0::HUGEINT END) AS s
+          FROM votes GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(CASE WHEN COALESCE(sig.s, 0) >= 9223372036854775808::HUGEINT
+                         THEN COALESCE(sig.s, 0) - 18446744073709551616::HUGEINT
+                         ELSE COALESCE(sig.s, 0) END AS BIGINT) AS simhash
+        FROM t LEFT JOIN sig USING (doc_id)
+    """
+
+
+def _fingerprint_oracle(window: int = 16, mod: int = 1 << 31) -> str:
+    """Winnowing-lite rolling fingerprint (functions/text.py:
+    rolling_fingerprint): min over all byte windows of the Rabin-Karp hash
+    sum(byte[j]*257^(w-1-j)) mod 2^31; texts shorter than the window fall
+    back to FNV-1a mod 2^31. The 257-powers are baked from Python so they
+    cannot drift."""
+    pows = [pow(257, window - 1 - j, mod) for j in range(window)]
+    pws = "[" + ", ".join(str(p) for p in pows) + "]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 [unicode(text[i]) FOR i IN generate_series(1, length(text))]
+                   AS bts
+          FROM documents
+        ),
+        rolled AS (
+          SELECT doc_id,
+            CASE WHEN length(bts) < {window}
+              THEN {_FNV64.format(bytes="bts")} % {mod}
+              ELSE list_min([
+                     list_sum([bts[i+j-1]::BIGINT * ({pws})[j]
+                               FOR j IN generate_series(1, {window})]) % {mod}
+                     FOR i IN generate_series(1, length(bts) - {window} + 1)])
+            END AS fp
+          FROM t
+        )
+        SELECT doc_id, CAST(fp AS BIGINT) AS fingerprint FROM rolled
+    """
+
+
+def _ivf_ann_oracle() -> str:
+    """IVF-lite ANN, fully data-driven (no baked constants): the centroid
+    sample ordering is md5(str(vec_id)) — computable in DuckDB — and
+    kmeans_iters=0 means centroids ARE the first 8 sample vectors, so the
+    oracle recomputes centroids, max-dot cell assignment (struct-max tie
+    order identical to Spark's reverse(array_sort)), nprobe probing, and
+    the top-k rescore from the table itself at any scale factor."""
+    cos = _COS.format(a="a.emb", b="p.q_emb")
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        corpus AS (SELECT * FROM e WHERE vec_id >= 10),
+        qry AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3),
+        cent_rows AS (
+          SELECT emb,
+                 ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) - 1 AS cell
+          FROM corpus QUALIFY cell < 8
+        ),
+        cents AS (
+          SELECT list({{'cell': cell, 'c': emb}} ORDER BY cell) AS cl
+          FROM cent_rows
+        ),
+        assigned AS (
+          SELECT c.vec_id, c.emb,
+                 list_aggregate([{{'dot': list_dot_product(c.emb, x.c),
+                                   'cell': x.cell}} FOR x IN cl],
+                                'max').cell AS cell
+          FROM corpus c, cents
+        ),
+        probes AS (
+          SELECT q_id, q_emb, unnest(cells) AS cell FROM (
+            SELECT q_id, q_emb,
+                   [x.cell FOR x IN list_reverse(list_sort(
+                      [{{'dot': list_dot_product(q_emb, x.c),
+                         'cell': x.cell}} FOR x IN cl]))[1:4]] AS cells
+            FROM qry, cents
+          )
+        ),
+        scored AS (
+          SELECT p.q_id, a.vec_id, {cos} AS cosine
+          FROM assigned a JOIN probes p USING (cell)
+        ),
+        ranked AS (
+          SELECT q_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, ROUND(cosine, 5) AS cosine, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1017,19 +1269,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_drop": q_dedup_drop,
-        # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
-        # Spark-native xxhash64 / per-byte FNV hashing, media decode,
-        # scan-order-dependent centroid sampling)
-        "dedup_corpus": q_dedup_corpus,
         "ivf_ann": q_ivf_ann,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "tree_importance": q_tree_importance,
+        # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
+        # Spark-native xxhash64 shingle hashing, media decode)
+        "dedup_corpus": q_dedup_corpus,
         "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
         "forest_importance": q_forest_importance,
+        "vip_importance": q_vip_importance,
+        "boruta_decisions": q_boruta_decisions,
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
-        "fingerprint": q_fingerprint,
     }
 
 
@@ -1291,6 +1545,10 @@ def oracle_sql() -> dict[str, str]:
         "langid": _langid_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "lsh_ann": _lsh_ann_oracle(),
+        "ivf_ann": _ivf_ann_oracle(),
+        "simhash": _simhash_oracle(),
+        "fingerprint": _fingerprint_oracle(),
+        "tree_importance": _TREE_ORACLE,
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

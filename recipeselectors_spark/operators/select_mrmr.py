@@ -8,11 +8,23 @@ I(Xi;Xs); prune via ``select_percentile``, maximize).
 Spark plan: discretize numeric predictors once (equal-frequency bins — the MI
 estimator's binning; nominal predictors use their levels), materialize a
 compact per-row *codes* frame, cache it. Relevance I(Xi;Y) for all i = one
-melted shuffle. Each greedy iteration computes I(Xi;Xs_new) for every
-remaining i against the newly-selected feature with ONE melted
-``groupBy(feature, code, s_code).count()`` shuffle — p iterations ⇒ p
-shuffles over the cached codes frame, never a p×p blowup in one job. The
-greedy argmax itself is driver-side over the p-sized score vector.
+melted shuffle. Redundancy has two paths:
+
+* **all-pairs fast path** (p <= ``all_pairs_max``, default 64): ALL pairwise
+  MIs in ONE double-exploded ``groupBy(fa, va, fb, vb).count()`` shuffle —
+  the map side emits p(p-1)/2 struct pairs per row but the map-side combine
+  collapses them to at most pairs × bins² tiny cells per partition; the
+  greedy loop then runs purely driver-side over the cached MI matrix.
+  2 Spark jobs total instead of p+1 — at p=500 sequential job launch
+  latency alone dominates the per-iteration path.
+* **per-iteration path** (p > all_pairs_max): each greedy iteration computes
+  I(Xi;Xs_new) for every remaining i against the newly-selected feature with
+  ONE melted ``groupBy(feature, code, s_code).count()`` shuffle — p
+  iterations ⇒ p shuffles over the cached codes frame, never a p×p row
+  blowup in one job (at large p the pair explosion would dwarf the input).
+
+Both paths compute MI from identical contingency tables, so scores agree
+exactly (pinned by tests).
 """
 
 from __future__ import annotations
@@ -38,11 +50,13 @@ class MrmrStep(SelectionStep):
         threshold=float("nan"),
         bins: int = 10,
         sample_frac: float | None = None,
+        all_pairs_max: int = 64,
         skip: bool = False,
     ) -> None:
         super().__init__(outcome, terms, top_p, threshold, skip)
         self.bins = bins
         self.sample_frac = sample_frac
+        self.all_pairs_max = all_pairs_max
 
     def _codes_frame(self, df: DataFrame, x_names: list[str]) -> DataFrame:
         """Per-row integer codes for every predictor + the outcome."""
@@ -105,9 +119,55 @@ class MrmrStep(SelectionStep):
             out[str(feat)] = stats.mutual_information(tab)
         return out
 
+    def _pairwise_mi(
+        self, codes: DataFrame, x_names: list[str]
+    ) -> dict[tuple[str, str], float]:
+        """ALL pairwise I(Xi;Xj) in one shuffle: explode each row into its
+        p(p-1)/2 (feature, code) struct pairs, count the joint cells with a
+        map-side-combined groupBy, pivot driver-side. The cell space is
+        pairs × bins² — tiny regardless of row count."""
+        arr = F.array(
+            *[
+                F.struct(F.lit(c).alias("f"), F.col(c).alias("v"))
+                for c in x_names
+            ]
+        )
+        pairs = (
+            codes.select(arr.alias("__arr__"))
+            .select(F.posexplode("__arr__").alias("i", "a"), "__arr__")
+            .select("i", "a", F.posexplode("__arr__").alias("j", "b"))
+            .where(F.col("i") < F.col("j"))
+        )
+        pdf = (
+            pairs.groupBy(
+                F.col("a.f").alias("fa"),
+                F.col("a.v").alias("va"),
+                F.col("b.f").alias("fb"),
+                F.col("b.v").alias("vb"),
+            )
+            .agg(F.count("*").alias("n"))
+            .toPandas()
+        )
+        out: dict[tuple[str, str], float] = {}
+        for (fa, fb), g in pdf.groupby(["fa", "fb"]):
+            tab = g.pivot_table(
+                index="va", columns="vb", values="n", aggfunc="sum", fill_value=0
+            ).to_numpy(dtype=float)
+            out[(str(fa), str(fb))] = stats.mutual_information(tab)
+        return out
+
     def _greedy(self, codes: DataFrame, x_names: list[str]) -> dict[str, float]:
         relevance = self._mi_against(codes, x_names, "__y__")
         relevance = {c: relevance.get(c, 0.0) for c in x_names}
+
+        all_pairs = len(x_names) <= self.all_pairs_max
+        pair_mi: dict[tuple[str, str], float] = (
+            self._pairwise_mi(codes, x_names) if all_pairs and len(x_names) > 1
+            else {}
+        )
+
+        def mi_between(a: str, b: str) -> float:
+            return pair_mi.get((a, b), pair_mi.get((b, a), 0.0))
 
         selected: list[str] = []
         scores: dict[str, float] = {}
@@ -120,9 +180,13 @@ class MrmrStep(SelectionStep):
         remaining.remove(first)
 
         while remaining:
-            mi_s = self._mi_against(codes, remaining, selected[-1])
-            for c in remaining:
-                redundancy_sum[c] += mi_s.get(c, 0.0)
+            if all_pairs:
+                for c in remaining:
+                    redundancy_sum[c] += mi_between(c, selected[-1])
+            else:
+                mi_s = self._mi_against(codes, remaining, selected[-1])
+                for c in remaining:
+                    redundancy_sum[c] += mi_s.get(c, 0.0)
             k = len(selected)
             cand = {
                 c: relevance[c] - redundancy_sum[c] / k for c in remaining

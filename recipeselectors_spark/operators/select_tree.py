@@ -32,12 +32,17 @@ class TreeStep(SelectionStep):
         threshold=float("nan"),
         tree_depth: int = 5,
         min_n: int = 1,
+        max_bins: int = 32,
         seed: int = 42,
         skip: bool = False,
     ) -> None:
         super().__init__(outcome, terms, top_p, threshold, skip)
         self.tree_depth = tree_depth
         self.min_n = min_n
+        # maxBins >= distinct values makes continuous split candidates the
+        # exact midpoints of consecutive distinct values (no quantile
+        # sketch) — deterministic, and SQL-expressible for the oracle
+        self.max_bins = max_bins
         self.seed = seed
 
     def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
@@ -46,6 +51,7 @@ class TreeStep(SelectionStep):
         est = cls(
             maxDepth=self.tree_depth,
             minInstancesPerNode=self.min_n,
+            maxBins=self.max_bins,
             seed=self.seed,
         )
         model = _mllib.fit_estimator(est, assembled)

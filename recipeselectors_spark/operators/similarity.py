@@ -17,7 +17,14 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cosine_topk", "lsh_ann_topk", "ivf_topk", "with_cosine"]
+__all__ = [
+    "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_topk",
+    "ivf_sample",
+    "ivf_centroids",
+    "with_cosine",
+]
 
 
 def _dot(a, b):
@@ -198,6 +205,50 @@ def lsh_ann_topk(
     )
 
 
+def ivf_sample(
+    corpus: DataFrame, vec_col: str, id_col: str, sample_n: int
+) -> np.ndarray:
+    """Content-deterministic centroid-training sample: the ``sample_n``
+    vectors whose ``md5(str(id))`` sorts first. Unlike ``limit(n)`` (which
+    takes whatever partitions are scanned first — at 100 TB that is one
+    file, and the centroids mirror that file's distribution), the md5
+    ordering is a uniform pseudo-random draw over the WHOLE corpus that is
+    independent of file layout, partitioning, and parallelism — and it is
+    reproducible outside Spark (md5 of the decimal id string), so the
+    centroids are a pure function of the data."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    return np.array([r[1] for r in rows], dtype=float)
+
+
+def ivf_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int, kmeans_iters: int = 5
+) -> np.ndarray:
+    """Centroids from the (deterministic) sample. ``kmeans_iters=0`` uses
+    the first ``n_centroids`` sample vectors directly (random-vector IVF
+    init — exactly reproducible in SQL, no floating-point averaging);
+    ``kmeans_iters>0`` refines them with seeded Lloyd iterations
+    (driver-side, tiny) for better cell balance at scale."""
+    if kmeans_iters <= 0:
+        return sample[: min(n_centroids, len(sample))].copy()
+    rng = np.random.default_rng(seed)
+    cent = sample[
+        rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    ]
+    for _ in range(kmeans_iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -209,25 +260,16 @@ def ivf_topk(
     query_id_col: str = "q_id",
     seed: int = 42,
     sample_n: int = 2048,
+    kmeans_iters: int = 5,
 ) -> DataFrame:
-    """IVF-lite ANN: centroids = k-means(few iters) on a seeded driver
-    sample; corpus partitioned by nearest centroid (one Catalyst pass);
-    queries probe their ``nprobe`` nearest centroid cells only."""
+    """IVF-lite ANN: centroids = k-means(few iters) on a content-
+    deterministic md5-ordered sample (see :func:`ivf_sample`); corpus
+    partitioned by nearest centroid (one Catalyst pass); queries probe
+    their ``nprobe`` nearest centroid cells only."""
     from pyspark.sql.window import Window
 
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_n).collect()],
-        dtype=float,
-    )
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-    for _ in range(5):  # few Lloyd iterations, driver-side, tiny
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cent)):
-            pts = sample[assign == c]
-            if len(pts):
-                cent[c] = pts.mean(0)
+    sample = ivf_sample(corpus, vec_col, id_col, sample_n)
+    cent = ivf_centroids(sample, n_centroids, seed, kmeans_iters)
 
     # centroids ride in as ONE broadcast array column (not dim×k literals)
     spark = corpus.sparkSession

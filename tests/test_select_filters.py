@@ -176,6 +176,41 @@ def test_mrmr_redundancy_penalty(cells):
     assert "x06" not in kept
 
 
+def test_mrmr_all_pairs_equals_per_iteration(iris):
+    """The one-shuffle all-pairs MI fast path and the per-iteration melted
+    path compute MI from identical contingency tables — scores must agree
+    exactly (not just allclose-loosely)."""
+    pdf, df = iris
+    fast = MrmrStep("species", top_p=2, bins=10).prep(df)  # p=4 <= 64: fast
+    slow = MrmrStep("species", top_p=2, bins=10, all_pairs_max=0).prep(df)
+    _scores_close(fast.scores, slow.scores, rtol=0, atol=0)
+    assert fast.exclude == slow.exclude
+
+
+def test_mrmr_all_pairs_job_count(iris):
+    """The fast path must launch a bounded number of Spark jobs regardless
+    of p: cut learning + relevance + ONE pairwise shuffle — not one job per
+    selected feature. (The per-iteration path launches ~p more.)"""
+    pdf, df = iris
+    sc = df.sparkSession.sparkContext
+
+    def n_jobs(group: str, **kw) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            MrmrStep("species", top_p=2, bins=10, **kw).prep(df)
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    fast = n_jobs("mrmr-fast")
+    slow = n_jobs("mrmr-slow", all_pairs_max=0)
+    # p=4: per-iteration runs 3 extra greedy-iteration shuffles
+    assert slow - fast >= 2, (fast, slow)
+    # cut learning + cache + relevance + ONE pairwise pass (some of these
+    # split into 2 jobs under AQE) — but never a per-feature term
+    assert fast <= 8, fast
+
+
 # -- carscore --------------------------------------------------------------
 
 def test_carscore_match_oracle(cars):
