@@ -28,6 +28,8 @@ __all__ = [
     "chi2_sf",
     "chi2_test",
     "fisher_exact_2x2",
+    "fisher_exact",
+    "fisher_exact_network",
     "bh_adjust",
     "carscore",
     "binom_sf",
@@ -253,11 +255,12 @@ def fisher_exact(table: np.ndarray, max_tables: int = 500_000) -> float:
     (R's 1e-7 relative tie tolerance, as in the 2×2 path).
 
     Enumeration is a depth-first fill over rows (last row/cell forced by the
-    margins), pruned by the column remainders. The visited-table count is
-    capped at ``max_tables``: beyond it :class:`FisherBudgetExceeded` is
-    raised so callers can fall back to chi-square — exact enumeration is
-    only meant for the low-cardinality factor × outcome tables this step
-    scores. 2×2 input short-circuits to the closed hypergeometric form.
+    margins), pruned by the column remainders. Tables whose raw enumeration
+    would exceed ``max_tables`` are handed to the FEXACT-style
+    :func:`fisher_exact_network` (exactly R fisher.test's escalation path);
+    only when THAT state space also blows its budget is
+    :class:`FisherBudgetExceeded` raised so callers can fall back to
+    chi-square. 2×2 input short-circuits to the closed hypergeometric form.
     """
     tab = np.asarray(table, dtype=np.int64)
     if tab.ndim != 2 or min(tab.shape) < 2:
@@ -308,8 +311,177 @@ def fisher_exact(table: np.ndarray, max_tables: int = 500_000) -> float:
 
         fill(0, target)
 
-    rec(0, list(cols), 0.0)
+    try:
+        rec(0, list(cols), 0.0)
+    except FisherBudgetExceeded:
+        return fisher_exact_network(tab)
     return float(min(1.0, state["total"]))
+
+
+def fisher_exact_network(
+    table: np.ndarray, max_states: int = 2_000_000
+) -> float:
+    """Two-sided Fisher exact p-value via a Mehta–Patel-style network
+    algorithm (FEXACT, Algorithm 643) — the same conditional-distribution sum
+    as :func:`fisher_exact`, but over a DAG instead of the raw table space.
+
+    Nodes are ``(row index, remaining column margins)`` states: many DFS
+    branches share one state, so each subtree is summarized ONCE with three
+    memoized quantities over its completions —
+
+    * ``minw``/``maxw``: min/max of ``sum lgamma(x_ij + 1)`` (the shortest /
+      longest path of FEXACT), giving the p-value bound at every node, and
+    * ``logS``: ``log(sum over completions of prod 1/x_ij!)`` — the subtree's
+      TOTAL conditional probability mass in closed form.
+
+    The main walk then prunes: if even the lightest completion qualifies
+    (``acc + minw >= T``), the whole subtree's mass ``exp(const - acc +
+    logS)`` is added without descending; if even the heaviest fails
+    (``acc + maxw < T``), the subtree is skipped; only states the cutoff
+    actually slices through are expanded. This extends exact coverage to the
+    moderate r×c tables whose raw enumeration blows the DFS budget (R's
+    fisher.test handles these through the same FEXACT code). ``max_states``
+    caps the memo table; beyond it :class:`FisherBudgetExceeded` is raised
+    for the callers' chi-square fallback.
+
+    Transposition and row/column permutations do not change the p-value
+    (the statistic is a symmetric function of the margins), so the table is
+    oriented with the FEWER categories as columns — the state space is the
+    lattice of column-margin vectors, so its size is driven by the column
+    count — and rows are processed largest-first (the FEXACT ordering).
+    The xtab step's tables are factor levels × outcome classes: many rows,
+    few columns — exactly the orientation this DAG collapses well on.
+    """
+    tab = np.asarray(table, dtype=np.int64)
+    if tab.ndim != 2 or min(tab.shape) < 2:
+        raise ValueError("fisher_exact requires an r×c table with r,c >= 2")
+    if tab.shape == (2, 2):
+        return fisher_exact_2x2(tab)
+    if tab.shape[1] > tab.shape[0]:
+        tab = tab.T
+    tab = tab[np.argsort(-tab.sum(axis=1), kind="stable"), :]
+    rows = [int(x) for x in tab.sum(axis=1)]
+    cols = tuple(int(x) for x in tab.sum(axis=0))
+    n = int(tab.sum())
+    lg = math.lgamma
+    lgf = [lg(k + 1) for k in range(n + 1)]  # lgamma(k!) lookup
+    const = sum(lgf[x] for x in rows) + sum(lgf[x] for x in cols) - lgf[n]
+    obs_w = float(sum(lgf[int(x)] for x in tab.flat))
+    # qualify: lp <= obs_lp + 1e-7  <=>  w >= T (same tie tolerance as DFS)
+    T = obs_w - 1e-7
+    n_rows, n_cols = tab.shape
+
+    # fail FAST on hopeless tables (the runtime budgets below are the exact
+    # backstop, but reaching them can itself take minutes): the state lattice
+    # is bounded by prod(c_j + 1) margin vectors and each expands into at
+    # most C(max_row + c - 1, c - 1) row fills
+    est_states = float(np.prod([c + 1.0 for c in cols]))
+    est_work = n_rows * est_states * math.comb(max(rows) + n_cols - 1, n_cols - 1)
+    if est_states > max_states or est_work > 100 * max_states:
+        raise FisherBudgetExceeded(
+            f"fisher_exact_network estimated work {est_work:.2g} exceeds budget"
+        )
+
+    memo: dict[tuple[int, tuple[int, ...]], tuple[float, float, float]] = {}
+
+    def comps(total: int, caps: tuple[int, ...]):
+        """Compositions of ``total`` into len(caps) parts with per-part caps
+        (cells of one row against the remaining column margins)."""
+        m = len(caps)
+        cell = [0] * m
+
+        def go(j: int, rem: int):
+            if j == m - 1:
+                if rem <= caps[j]:
+                    cell[j] = rem
+                    yield tuple(cell)
+                return
+            hi = min(rem, caps[j])
+            lo = max(0, rem - sum(caps[j + 1:]))
+            for v in range(lo, hi + 1):
+                cell[j] = v
+                yield from go(j + 1, rem - v)
+
+        yield from go(0, total)
+
+    def rec(r: int, rem: tuple[int, ...]) -> tuple[float, float, float]:
+        """(minw, maxw, logS) over all completions of rows r..R-1."""
+        key = (r, rem)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        if len(memo) >= max_states:
+            raise FisherBudgetExceeded(
+                f"fisher_exact_network exceeded {max_states} states"
+            )
+        if r == n_rows - 1:
+            w = sum(lgf[x] for x in rem)
+            out = (w, w, -w)
+            memo[key] = out
+            return out
+        minw, maxw = math.inf, -math.inf
+        log_terms: list[float] = []
+        for x in comps(rows[r], rem):
+            wx = sum(lgf[v] for v in x)
+            child = rec(r + 1, tuple(a - b for a, b in zip(rem, x)))
+            minw = min(minw, wx + child[0])
+            maxw = max(maxw, wx + child[1])
+            log_terms.append(-wx + child[2])
+        mx = max(log_terms)
+        logS = mx + math.log(sum(math.exp(t - mx) for t in log_terms))
+        out = (minw, maxw, logS)
+        memo[key] = out
+        return out
+
+    # Forward pass, level (row) by level. Paths reaching the same state with
+    # the same accumulated weight are CLUMPED into one (weight -> count)
+    # entry — FEXACT's path clumping: the weight is a sum of lgamma terms,
+    # so every arrangement of the same filled-cell multiset collapses to one
+    # entry, and the min/max bounds resolve most (state, weight) pairs
+    # without expanding them. Only pairs the cutoff slices through survive
+    # to the next level.
+    total = 0.0
+    cur: dict[tuple[int, ...], dict[float, int]] = {cols: {0.0: 1}}
+    for r in range(n_rows - 1):
+        nxt: dict[tuple[int, ...], dict[float, int]] = {}
+        for rem, paths in cur.items():
+            minw, maxw, logS = rec(r, rem)
+            live: dict[float, int] = {}
+            for acc, cnt in paths.items():
+                if acc + minw >= T:  # every completion qualifies
+                    total += float(cnt) * math.exp(const - acc + logS)
+                elif acc + maxw >= T:  # sliced: expand
+                    live[acc] = cnt
+            if not live:
+                continue
+            grew = 0
+            for x in comps(rows[r], rem):
+                wx = sum(lgf[v] for v in x)
+                child = tuple(a - b for a, b in zip(rem, x))
+                d = nxt.setdefault(child, {})
+                for acc, cnt in live.items():
+                    # clump on a 1e-9-rounded weight: identical cell
+                    # multisets summed in different row orders differ by
+                    # ulps and would otherwise never merge; the rounding
+                    # error is two orders below the 1e-7 tie tolerance
+                    k = round(acc + wx, 9)
+                    d[k] = d.get(k, 0) + cnt
+                grew += len(live)
+                if grew > max_states:
+                    raise FisherBudgetExceeded(
+                        f"fisher_exact_network exceeded {max_states} live paths"
+                    )
+        if sum(len(d) for d in nxt.values()) > max_states:
+            raise FisherBudgetExceeded(
+                f"fisher_exact_network exceeded {max_states} live paths"
+            )
+        cur = nxt
+    for rem, paths in cur.items():  # last row: the fill is forced
+        w = sum(lgf[v] for v in rem)
+        for acc, cnt in paths.items():
+            if acc + w >= T:
+                total += float(cnt) * math.exp(const - acc - w)
+    return float(min(1.0, total))
 
 
 def bh_adjust(pvals: np.ndarray) -> np.ndarray:

@@ -79,14 +79,14 @@ def asof_join_union(
     )
     # NULL for spine rows => last(ignorenulls) lands on the latest feature
     # ROW; the struct is non-null for every feature row even when its value
-    # fields are null, so those nulls are carried intact
-    payload = F.when(
-        F.col("__side__") == 0,
-        F.struct(
-            F.col(ts).alias("__fts__"),
-            *[F.col(c).alias(c) for c in value_cols],
-        ),
-    )
+    # fields are null, so those nulls are carried intact. The feature ts
+    # rides along ONLY when a tolerance needs it — without tolerance the
+    # window payload is just the value fields (fast path: same semantics,
+    # one fewer carried field per row).
+    payload_fields = [F.col(c).alias(c) for c in value_cols]
+    if tolerance_s is not None:
+        payload_fields.insert(0, F.col(ts).alias("__fts__"))
+    payload = F.when(F.col("__side__") == 0, F.struct(*payload_fields))
     out = unioned.withColumn(
         "__carry__", F.last(payload, ignorenulls=True).over(w)
     )

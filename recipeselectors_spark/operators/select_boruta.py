@@ -20,6 +20,23 @@ systematic sample of the dataset) and cached; each run's shadow columns are
 a seeded PARTITION-LOCAL permutation via mapInPandas (operators/_permute.py)
 — map-only, no global sort, no join — followed by one MLlib RF fit. The
 driver orchestrates ≤ maxRuns fits (SURVEY.md §2.2 #9) with early stopping.
+
+Parity ledger vs the R Boruta package (what is pinned, what cannot be):
+
+* PINNED by tests: the decision rule (``Boruta:::TestFeatures`` — each
+  one-sided exact-binomial tail Bonferroni-adjusted over ALL attributes and
+  compared to ``pValue``, not ``pValue/2``, not undecided-only), Tentative
+  features KEPT at maxRuns (step_select_boruta.R:116), early stop when all
+  features are decided, and the ``extras["imp_history"]`` analogue of
+  Boruta's ImpHistory (one row per run: every real importance + that run's
+  max shadow importance).
+* NOT pinnable without R in this environment: the per-run importance VALUES
+  themselves. The reference test pins exact ``exclude`` + ImpHistory under
+  ``set.seed`` (tests/testthat/test_step_select_boruta.R:12-29), but those
+  numbers come from ranger's permutation importance under R's RNG stream;
+  MLlib RF importances are impurity-based with a different (seeded,
+  deterministic-for-us) sampling stream. Decision AGREEMENT on seeded
+  signal/noise frames is asserted instead (tests/test_select_models.py).
 """
 
 from __future__ import annotations

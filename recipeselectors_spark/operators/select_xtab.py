@@ -11,8 +11,10 @@ Spark plan: both predictor and outcome are nominal — ONE melted
 the tiny tables are collected and tested on the driver with the numpy kernels
 (scipy-free chi-square survival function / exact hypergeometric tail).
 Fisher handles any r×c shape via depth-first enumeration of same-margin
-tables (fisher.test parity, :116); tables whose enumeration would exceed
-the budget fall back to chi-square with a warning.
+tables (fisher.test parity, :116); tables beyond the enumeration budget
+escalate to the FEXACT-style network algorithm (stats.fisher_exact_network —
+the same escalation R's fisher.test performs), and only when that too blows
+its state budget does the step fall back to chi-square with a warning.
 """
 
 from __future__ import annotations

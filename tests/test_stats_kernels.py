@@ -148,6 +148,54 @@ def test_fisher_budget_raises():
         stats.fisher_exact(big, max_tables=1000)
 
 
+def test_fisher_network_matches_dfs_small():
+    """The FEXACT-style network algorithm is a different summation over the
+    same conditional distribution — must agree with the DFS on every table
+    the DFS can enumerate."""
+    rng = np.random.default_rng(7)
+    checked = 0
+    while checked < 15:
+        r, c = rng.integers(2, 4), rng.integers(2, 4)
+        tab = rng.integers(0, 8, size=(r, c))
+        if (tab.sum(0) == 0).any() or (tab.sum(1) == 0).any():
+            continue
+        a = stats.fisher_exact(tab, max_tables=10_000_000)  # pure DFS
+        b = stats.fisher_exact_network(tab)
+        np.testing.assert_allclose(a, b, atol=1e-9, err_msg=str(tab))
+        checked += 1
+
+
+def test_fisher_network_beyond_dfs_budget():
+    """A 9×2 table with 880,805 same-margin tables — beyond the default
+    500k DFS budget (the round-2 fallback-to-chi2 regime). The network
+    algorithm must return the exact p (oracle: raw DFS with a raised
+    budget), and the default fisher_exact must now route to it instead of
+    raising."""
+    tab = np.array(
+        [[3, 4], [4, 1], [4, 1], [1, 4], [4, 1],
+         [1, 2], [1, 5], [4, 2], [2, 3]]
+    )
+    want = stats.fisher_exact(tab, max_tables=5_000_000)  # pure DFS oracle
+    got_net = stats.fisher_exact_network(tab)
+    np.testing.assert_allclose(got_net, want, atol=1e-9)
+    got_default = stats.fisher_exact(tab)  # 500k budget -> network fallback
+    np.testing.assert_allclose(got_default, want, atol=1e-9)
+    # pin the value so algorithm drift is visible in review
+    np.testing.assert_allclose(want, 0.2198111335731338, atol=1e-9)
+
+
+def test_fisher_network_tall_thin_fast():
+    """The xtab shape (many factor levels × few classes): the network must
+    handle margins whose raw enumeration is >10^6 tables, quickly."""
+    rng = np.random.default_rng(11)
+    tab = rng.integers(0, 5, size=(12, 2))
+    tab[tab.sum(1) == 0, 0] = 1
+    p = stats.fisher_exact_network(tab)
+    assert 0.0 <= p <= 1.0
+    # transpose invariance holds through the reorientation logic
+    np.testing.assert_allclose(p, stats.fisher_exact_network(tab.T), atol=1e-9)
+
+
 def test_bh_adjust_r_parity():
     # R: p.adjust(c(.01,.02,.03,.04), "BH") == c(.04,.04,.04,.04)
     out = stats.bh_adjust(np.array([0.01, 0.02, 0.03, 0.04]))
