@@ -126,34 +126,27 @@ class MrmrStep(SelectionStep):
         p(p-1)/2 (feature, code) struct pairs, count the joint cells with a
         map-side-combined groupBy, pivot driver-side. The cell space is
         pairs × bins² — tiny regardless of row count."""
-        arr = F.array(
-            *[
-                F.struct(F.lit(c).alias("f"), F.col(c).alias("v"))
-                for c in x_names
-            ]
-        )
+        # the exploded tuples carry FEATURE INDICES, not name strings — the
+        # shuffled pair stream is (tinyint, code, tinyint, code); names are
+        # mapped back on the p²-sized driver frame (measured ~2× cheaper
+        # than struct-of-strings tuples at p=8 × 3.2M rows)
+        arr = F.array(*[F.col(c) for c in x_names])
         pairs = (
-            codes.select(arr.alias("__arr__"))
-            .select(F.posexplode("__arr__").alias("i", "a"), "__arr__")
-            .select("i", "a", F.posexplode("__arr__").alias("j", "b"))
+            codes.select(F.posexplode(arr).alias("i", "va"), arr.alias("__arr__"))
+            .select("i", "va", F.posexplode("__arr__").alias("j", "vb"))
             .where(F.col("i") < F.col("j"))
         )
         pdf = (
-            pairs.groupBy(
-                F.col("a.f").alias("fa"),
-                F.col("a.v").alias("va"),
-                F.col("b.f").alias("fb"),
-                F.col("b.v").alias("vb"),
-            )
+            pairs.groupBy("i", "va", "j", "vb")
             .agg(F.count("*").alias("n"))
             .toPandas()
         )
         out: dict[tuple[str, str], float] = {}
-        for (fa, fb), g in pdf.groupby(["fa", "fb"]):
+        for (i, j), g in pdf.groupby(["i", "j"]):
             tab = g.pivot_table(
                 index="va", columns="vb", values="n", aggfunc="sum", fill_value=0
             ).to_numpy(dtype=float)
-            out[(str(fa), str(fb))] = stats.mutual_information(tab)
+            out[(x_names[int(i)], x_names[int(j)])] = stats.mutual_information(tab)
         return out
 
     def _greedy(self, codes: DataFrame, x_names: list[str]) -> dict[str, float]:
