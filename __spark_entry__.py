@@ -8,11 +8,12 @@ same parquet views. Column names and rounding are matched on both sides
 (driver compare is order-insensitive value-hash over name-sorted columns).
 
 Non-SQL-expressible operators (MDL infgain, iterative MLlib fits — GBT/RF/
-logit — boruta runs, xxhash64 minhash shingles, media decode) are exposed as
-rows-only checks (no oracle entry). Deterministic pure functions of the data
-get GENERATED oracles even when they need constants (LSH planes, 257-powers)
-or data-driven derivations (IVF centroids recomputed in SQL from the
-md5-ordered sample).
+logit — boruta runs, media decode) are exposed as rows-only checks (no
+oracle entry). Deterministic pure functions of the data get GENERATED
+oracles even when they need constants (LSH planes, 257-powers, MinHash
+affine params), a bit-exact XXH64 re-implementation in SQL
+(functions/xxh64_sql.py — minhash_pairs/dedup_corpus), or data-driven
+derivations (IVF centroids recomputed in SQL from the md5-ordered sample).
 """
 
 from __future__ import annotations
@@ -610,7 +611,9 @@ def q_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus dedup composition (exact-first, then MinHash near-dup on
-    representatives, keep-first). Rows-only: MinHash uses Spark xxhash64."""
+    representatives, keep-first). Oracle-checked end-to-end: the DuckDB SQL
+    recomputes the md5 keep-first window AND the whole MinHash-LSH pipeline
+    via the bit-exact XXH64 port (functions/xxh64_sql.py)."""
     from recipeselectors_spark.operators import dedup as D
 
     out = D.dedup_corpus(_documents(spark, sf_dir), threshold=0.8)
@@ -915,6 +918,10 @@ def q_boruta_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (shingle -> 32 affine permutations
+    -> 8 band buckets -> bucket join -> est-Jaccard verify). Oracle-checked:
+    the Catalyst xxhash64 shingle/band hashing is replayed bit-exactly in
+    DuckDB SQL (functions/xxh64_sql.py)."""
     from recipeselectors_spark.operators import dedup as D
 
     return D.minhash_dedup_pairs(
@@ -1177,6 +1184,123 @@ def _fingerprint_oracle(window: int = 16, mod: int = 1 << 31) -> str:
     """
 
 
+def _minhash_pipeline_sql(
+    source: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    seed: int = 42,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> str:
+    """MinHash-LSH near-dup pairs as DuckDB CTE SQL over ``source``
+    (a docs relation with doc_id/text) — the FULL operators/dedup.py
+    pipeline: word-3-shingles hashed with a bit-exact XXH64 SQL port
+    (functions/xxh64_sql.py), the same 32 baked affine permutations mod
+    2^31-1, band buckets via the chained xxhash64(concat, band) hash,
+    bucket self-join candidates, and the est-Jaccard verify. Yields
+    (id_a, id_b, ej). Affine constants are regenerated from the identical
+    numpy seed so they can never drift from the Spark side."""
+    from recipeselectors_spark.functions import xxh64_sql as X
+    from recipeselectors_spark.operators.dedup import MERSENNE_P, _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    shingle_hash = X.to_signed_sql(X.xxh64_str_sql("sh_str"))
+
+    def xxh_of(expr: str) -> str:
+        return X.stage(expr, "sh_str", shingle_hash)
+
+    kq = k_shingle - 1
+    hs_ge = (
+        f"list_distinct([{xxh_of(f'array_to_string(toks[i:i+{kq}], chr(32))')}"
+        f" FOR i IN generate_series(1, length(toks)-{kq})])"
+    )
+    hs_lt = f"[{xxh_of('array_to_string(toks, chr(32))')}]"
+    perms = ", ".join(
+        f"list_min([((abs(h) % {MERSENNE_P}) * {ai} + {bi}) % {MERSENNE_P}"
+        f" FOR h IN hs])"
+        for ai, bi in zip(a, b)
+    )
+    rpb = num_perm // bands
+
+    def bucket_expr(bi: int) -> str:
+        concat = f"array_to_string(mh[{bi * rpb + 1}:{bi * rpb + rpb}], ',')"
+        return X.to_signed_sql(
+            X.hash_int_sql(str(bi), X.xxh64_str_sql(concat))
+        )
+
+    bstructs = ", ".join(
+        f"{{'band': {bi}, 'bucket': {bucket_expr(bi)}}}" for bi in range(bands)
+    )
+    cap = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
+    )
+    return f"""
+        toks_t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x != '') AS toks
+          FROM {source}
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(toks) >= {k_shingle}
+                      THEN {hs_ge} ELSE {hs_lt} END AS hs
+          FROM toks_t
+        ),
+        mh AS (SELECT doc_id, [{perms}] AS mh FROM sh),
+        banded AS (
+          SELECT doc_id, u.band AS band, u.bucket AS bucket FROM (
+            SELECT doc_id, unnest([{bstructs}]) AS u FROM mh
+          )
+          {cap}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT id_a, id_b,
+                 list_sum([CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END
+                           FOR i IN generate_series(1, {num_perm})])::DOUBLE
+                   / {num_perm} AS ej
+          FROM cand JOIN mh ma ON ma.doc_id = cand.id_a
+                    JOIN mh mb ON mb.doc_id = cand.id_b
+        ),
+        near_dup_pairs AS (
+          SELECT id_a, id_b, ej FROM est WHERE ej >= {threshold}
+        )
+    """
+
+
+def _minhash_pairs_oracle() -> str:
+    return f"""
+        WITH {_minhash_pipeline_sql('documents', threshold=0.8)}
+        SELECT id_a, id_b, ROUND(ej, {ROUND}) AS est_jaccard
+        FROM near_dup_pairs
+    """
+
+
+def _dedup_corpus_oracle() -> str:
+    """Exact-first corpus dedup: md5 keep-first window, MinHash-LSH pairs on
+    the representatives (with the 10k bucket cap), drop every id_b."""
+    uniq = """
+        uniq AS (
+          SELECT doc_id, text FROM documents
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1
+        ),
+    """
+    return f"""
+        WITH {uniq} {_minhash_pipeline_sql('uniq', threshold=0.8, max_bucket=10_000)}
+        SELECT doc_id FROM uniq
+        WHERE doc_id NOT IN (SELECT id_b FROM near_dup_pairs)
+    """
+
+
 def _ivf_ann_oracle() -> str:
     """IVF-lite ANN, fully data-driven (no baked constants): the centroid
     sample ordering is md5(str(vec_id)) — computable in DuckDB — and
@@ -1273,9 +1397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "tree_importance": q_tree_importance,
-        # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
-        # Spark-native xxhash64 shingle hashing, media decode)
+        "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
+        # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
+        # media decode)
         "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
@@ -1283,7 +1408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_importance": q_forest_importance,
         "vip_importance": q_vip_importance,
         "boruta_decisions": q_boruta_decisions,
-        "minhash_pairs": q_minhash_pairs,
     }
 
 
@@ -1549,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "fingerprint": _fingerprint_oracle(),
         "tree_importance": _TREE_ORACLE,
+        "minhash_pairs": _minhash_pairs_oracle(),
+        "dedup_corpus": _dedup_corpus_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

@@ -406,3 +406,45 @@ def test_dedup_corpus_composition(docs):
     assert not any(i >= 200000 for i in ids if i - 200000 in ids)
     # at least the three originals survive
     assert {0, 1, 2} <= ids
+
+
+def test_xxh64_sql_matches_spark(spark):
+    """The generated DuckDB XXH64 (functions/xxh64_sql.py) must be bit-exact
+    against Catalyst's xxhash64 for every tail shape — empty, byte-only,
+    int+byte, full words, and 32-byte+ stripe inputs — plus the two-arg
+    chaining forms used by the MinHash band hash (string then int) and
+    hashLong."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from recipeselectors_spark.functions import xxh64_sql as X
+
+    tests = [
+        "", "a", "F", "hello world", "AAAAAAAABCDE", "word one two",
+        "BCDE", "AAAAAAAABCDEF", "AAAAAAAAF", "BCDEF", "x" * 31, "y" * 32,
+        "z" * 40, "the quick brown fox jumps over the lazy dog repeatedly",
+        "12345,678,90123", "-1083838234,882211,3,44",
+    ]
+    df = spark.createDataFrame([(t, i % 8) for i, t in enumerate(tests)], "s string, b int")
+    rows = df.select(
+        "s", "b",
+        F.xxhash64("s").alias("h_str"),
+        F.xxhash64("s", F.col("b")).alias("h_chain"),
+        F.xxhash64(F.col("b").cast("long")).alias("h_long"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR, b INT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", [(r["s"], r["b"]) for r in rows])
+    e_str = X.to_signed_sql(X.xxh64_str_sql("s"))
+    e_chain = X.to_signed_sql(X.hash_int_sql("b", X.xxh64_str_sql("s")))
+    e_long = X.to_signed_sql(X.hash_long_sql("b", str(X.SEED)))
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"SELECT s, {e_str}, {e_chain}, {e_long} FROM t"
+        ).fetchall()
+    }
+    for r in rows:
+        assert got[r["s"]] == (r["h_str"], r["h_chain"], r["h_long"]), r["s"]
