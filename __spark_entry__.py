@@ -710,13 +710,24 @@ def q_assemble_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_infgain_mdl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MDL-discretized information gain (FSelectorRcpp default semantics)."""
+    """MDL-discretized information gain (FSelectorRcpp default semantics,
+    equal=FALSE -> Fayyad-Irani MDLP). The outcome is a deterministic
+    function of `value` (floor(3x) parity) so the MDLP recursion actually
+    accepts cuts (~32 at sf0.01) — the oracle replays the ENTIRE recursive
+    partitioning in a DuckDB recursive CTE (argmax boundary per interval,
+    log2(n-1)+delta acceptance, midpoint cuts) and then the binned-entropy
+    info gain."""
     from recipeselectors_spark.operators import InfGainStep
 
-    df = _feature_frame(spark, sf_dir)
-    fitted = InfGainStep(
-        "y", terms=["value", "props_len"], top_p=1
-    ).prep(df)
+    ev = _events(spark, sf_dir)
+    df = ev.select(
+        F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("props_len"),
+        F.when(F.floor(F.col("value") * 3) % 2 == 0, "pos")
+        .otherwise("neg")
+        .alias("y"),
+    )
+    fitted = InfGainStep("y", terms=["value", "props_len"], top_p=1).prep(df)
     rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
     return spark.createDataFrame(rows, "feature string, infogain double")
 
@@ -1184,6 +1195,149 @@ def _fingerprint_oracle(window: int = 16, mod: int = 1 << 31) -> str:
     """
 
 
+_MDL_Y = "CAST(floor(value * 3) AS BIGINT) % 2 = 0"
+
+
+def _mdl_blocks(feature_expr: str, sfx: str, max_depth: int = 32) -> str:
+    """Recursive-CTE Fayyad-Irani MDLP over one numeric feature (class = the
+    _MDL_Y predicate), mirroring functions/discretize.py:mdl_cut_points_hist
+    term-for-term: per-distinct-value class histogram, prefix sums, per-
+    interval argmax of entropy gain over boundaries (ties -> smallest index,
+    = np.argmax), the log2(n-1)+delta MDLP acceptance test, midpoint cuts,
+    binary recursion to depth 32. Emits CTEs suffixed ``_{sfx}`` ending in
+    ``cuts_{sfx}(cut)``."""
+
+    def ent2(a: str, b: str, n: str) -> str:
+        # entropy of a 2-class count pair, zero-count classes contribute 0 —
+        # the same left-to-right p0*log2(p0) + p1*log2(p1) order as the
+        # vectorized numpy kernel (bit-identical given a shared libm log2)
+        return (
+            f"(0 - (CASE WHEN {a} > 0 THEN ({a}/{n})*log2({a}/{n}) ELSE 0 END)"
+            f" - (CASE WHEN {b} > 0 THEN ({b}/{n})*log2({b}/{n}) ELSE 0 END))"
+        )
+
+    return f"""
+        feat_{sfx} AS (
+          SELECT CAST({feature_expr} AS DOUBLE) AS x,
+                 CASE WHEN {_MDL_Y} THEN 1 ELSE 0 END AS pos
+          FROM events WHERE {feature_expr} IS NOT NULL
+        ),
+        hist_{sfx} AS (
+          SELECT x, SUM(pos)::DOUBLE AS c1, SUM(1-pos)::DOUBLE AS c0
+          FROM feat_{sfx} GROUP BY x
+        ),
+        pre_{sfx} AS (
+          SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS idx,
+                 SUM(c0) OVER (ORDER BY x) AS p0,
+                 SUM(c1) OVER (ORDER BY x) AS p1
+          FROM hist_{sfx}
+        ),
+        bounds_{sfx} AS (SELECT MAX(idx) AS mx FROM pre_{sfx}),
+        seg_{sfx}(lo, hi, depth, cut) AS (
+          SELECT 1::BIGINT, mx, 0, NULL::DOUBLE FROM bounds_{sfx} WHERE mx >= 2
+          UNION ALL
+          SELECT CASE side.s WHEN 'L' THEN sp.lo ELSE sp.j + 1 END,
+                 CASE side.s WHEN 'L' THEN sp.j ELSE sp.hi END,
+                 sp.depth + 1,
+                 sp.cutv
+          FROM (
+            SELECT s.lo, s.hi, s.depth, b.j, b.cutv
+            FROM seg_{sfx} s JOIN LATERAL (
+              SELECT cand.j, cand.cutv
+              FROM (
+                SELECT p.idx AS j,
+                  (SELECT (pp.x + pn.x)/2 FROM pre_{sfx} pp, pre_{sfx} pn
+                   WHERE pp.idx = p.idx AND pn.idx = p.idx + 1) AS cutv,
+                  p.p0 - base.b0 AS l0, p.p1 - base.b1 AS l1,
+                  tot.t0 - (p.p0 - base.b0) AS r0,
+                  tot.t1 - (p.p1 - base.b1) AS r1
+                FROM pre_{sfx} p,
+                  LATERAL (SELECT
+                    COALESCE((SELECT p0 FROM pre_{sfx} WHERE idx = s.lo - 1), 0) AS b0,
+                    COALESCE((SELECT p1 FROM pre_{sfx} WHERE idx = s.lo - 1), 0) AS b1) base,
+                  LATERAL (SELECT
+                    (SELECT p0 FROM pre_{sfx} WHERE idx = s.hi) - base.b0 AS t0,
+                    (SELECT p1 FROM pre_{sfx} WHERE idx = s.hi) - base.b1 AS t1) tot
+                WHERE p.idx BETWEEN s.lo AND s.hi - 1
+              ) cand
+              JOIN LATERAL (
+                SELECT cand.l0 + cand.l1 AS nl, cand.r0 + cand.r1 AS nr,
+                       cand.l0 + cand.l1 + cand.r0 + cand.r1 AS n
+              ) sz ON true
+              JOIN LATERAL (
+                SELECT {ent2('(cand.l0 + cand.r0)', '(cand.l1 + cand.r1)', 'sz.n')} AS ent_total,
+                       {ent2('cand.l0', 'cand.l1', 'sz.nl')} AS e_l,
+                       {ent2('cand.r0', 'cand.r1', 'sz.nr')} AS e_r
+              ) en ON true
+              JOIN LATERAL (
+                SELECT en.ent_total - (sz.nl * en.e_l + sz.nr * en.e_r) / sz.n AS gain,
+                       (CASE WHEN cand.l0 + cand.r0 > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN cand.l1 + cand.r1 > 0 THEN 1 ELSE 0 END) AS k_tot,
+                       (CASE WHEN cand.l0 > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN cand.l1 > 0 THEN 1 ELSE 0 END) AS k_l,
+                       (CASE WHEN cand.r0 > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN cand.r1 > 0 THEN 1 ELSE 0 END) AS k_r
+              ) g ON true
+              WHERE sz.n >= 2
+                AND g.gain > (log2(sz.n - 1)
+                    + (log2(3.0 ** g.k_tot - 2.0)
+                       - (g.k_tot * en.ent_total - g.k_l * en.e_l
+                          - g.k_r * en.e_r))) / sz.n
+              ORDER BY g.gain DESC, cand.j
+              LIMIT 1
+            ) b ON true
+            WHERE s.depth < {max_depth} AND s.hi - s.lo >= 1
+          ) sp, (VALUES ('L'), ('R')) side(s)
+        ),
+        cuts_{sfx} AS (
+          SELECT DISTINCT cut FROM seg_{sfx} WHERE cut IS NOT NULL
+        )
+    """
+
+
+def _infgain_mdl_oracle() -> str:
+    """MDL cuts via recursive CTEs (one per feature), then the same
+    natural-log binned info gain as the equal-freq oracle (bin = #cuts <= x,
+    _scoring.binned_joint_counts semantics)."""
+
+    def ig_block(x_expr: str, sfx: str) -> str:
+        return f"""
+        binned_{sfx} AS (
+          SELECT (SELECT COUNT(*) FROM cuts_{sfx} c WHERE {x_expr} >= c.cut)
+                   AS bin,
+                 CASE WHEN {_MDL_Y} THEN 'pos' ELSE 'neg' END AS y
+          FROM events
+        ),
+        joint_{sfx} AS (
+          SELECT bin, y, COUNT(*)::DOUBLE AS n FROM binned_{sfx} GROUP BY bin, y
+        ),
+        tot_{sfx} AS (SELECT SUM(n) AS nt FROM joint_{sfx}),
+        hx_{sfx} AS (SELECT -SUM(p*LN(p)) AS h FROM
+          (SELECT SUM(n)/(SELECT nt FROM tot_{sfx}) AS p FROM joint_{sfx} GROUP BY bin)),
+        hy_{sfx} AS (SELECT -SUM(p*LN(p)) AS h FROM
+          (SELECT SUM(n)/(SELECT nt FROM tot_{sfx}) AS p FROM joint_{sfx} GROUP BY y)),
+        hxy_{sfx} AS (SELECT -SUM(p*LN(p)) AS h FROM
+          (SELECT n/(SELECT nt FROM tot_{sfx}) AS p FROM joint_{sfx})),
+        ig_{sfx} AS (
+          SELECT (SELECT h FROM hx_{sfx}) + (SELECT h FROM hy_{sfx})
+                 - (SELECT h FROM hxy_{sfx}) AS ig
+        )
+        """
+
+    return f"""
+        WITH RECURSIVE
+        {_mdl_blocks("value", "v")},
+        {_mdl_blocks("length(props)", "p")},
+        {ig_block("CAST(value AS DOUBLE)", "v")},
+        {ig_block("CAST(length(props) AS DOUBLE)", "p")}
+        SELECT 'props_len' AS feature,
+               ROUND((SELECT ig FROM ig_p), {ROUND}) AS infogain
+        UNION ALL
+        SELECT 'value', ROUND((SELECT ig FROM ig_v), {ROUND})
+        ORDER BY feature
+    """
+
+
 def _minhash_pipeline_sql(
     source: str,
     num_perm: int = 32,
@@ -1399,10 +1553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_importance": q_tree_importance,
         "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
-        # rows-only (no SQL oracle: MLlib iterative fits, MDL recursion,
-        # media decode)
-        "media_features": q_media_features,
         "infgain_mdl": q_infgain_mdl,
+        # rows-only (no SQL oracle: MLlib iterative fits, media decode)
+        "media_features": q_media_features,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
         "forest_importance": q_forest_importance,
@@ -1675,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_importance": _TREE_ORACLE,
         "minhash_pairs": _minhash_pairs_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
+        "infgain_mdl": _infgain_mdl_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

@@ -75,3 +75,44 @@ def test_exact_dedup_single_exchange(spark):
     plan = _plan(D.dedup_exact(docs))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan  # map-side combine on the hash groupBy
+
+
+def test_ivf_sample_is_top_n_not_global_sort(spark):
+    """The content-deterministic IVF sample (orderBy(md5(id)).limit(n)) must
+    compile to TakeOrderedAndProject — per-partition top-n + driver merge —
+    not a rangepartitioning exchange + global sort. At 100 TB the latter
+    shuffles the whole corpus to pick 2048 vectors."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(2048)
+    )
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mrmr_pairwise_single_exchange(spark, events):
+    """The all-pairs MI pass: pair explosion -> ONE map-side-combined
+    groupBy exchange, no SinglePartition, regardless of p."""
+    from recipeselectors_spark.operators.select_mrmr import MrmrStep
+
+    df = events.select(
+        F.col("value").alias("f1"),
+        F.length("props").cast("double").alias("f2"),
+        (F.col("value") % 7).alias("f3"),
+        F.when(F.col("event_type") == "purchase", "pos").otherwise("neg").alias("y"),
+    )
+    names = ["f1", "f2", "f3"]
+    codes = MrmrStep("y", terms=names, top_p=2, bins=4)._codes_frame(df, names)
+    arr = F.array(*[F.col(c) for c in names])
+    pairs = (
+        codes.select(F.posexplode(arr).alias("i", "va"), arr.alias("__arr__"))
+        .select("i", "va", F.posexplode("__arr__").alias("j", "vb"))
+        .where(F.col("i") < F.col("j"))
+    )
+    plan = _plan(pairs.groupBy("i", "va", "j", "vb").count())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan
