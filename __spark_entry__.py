@@ -745,7 +745,9 @@ def q_mrmr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_carscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CAR scores on lineitem: price vs quantity/discount/tax."""
+    """CAR scores on lineitem: price vs quantity/discount/tax (lam='auto' ->
+    Schäfer-Strimmer; oracle replays moments, lambda, and the Newton-Schulz
+    R^{-1/2} in SQL)."""
     from recipeselectors_spark.operators import CarScoreStep
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -792,6 +794,10 @@ def q_linear_reg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_linear_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|logit coefficients| through NormalizeStep + LinearStep. regParam=0
+    makes the MLE unique, and tol=1e-12 pins MLlib's L-BFGS to it ~6 orders
+    below the ROUND=6 comparison — so the oracle can recompute the SAME
+    optimum with 30 Newton/IRLS iterations in a DuckDB recursive CTE."""
     from recipeselectors_spark.operators import LinearStep
     from recipeselectors_spark.plans.pipeline import NormalizeStep, Recipe
 
@@ -799,7 +805,12 @@ def q_linear_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = (
         Recipe()
         .add(NormalizeStep(["value", "props_len"]))
-        .add(LinearStep("y", terms=["value", "props_len"], top_p=1))
+        .add(
+            LinearStep(
+                "y", terms=["value", "props_len"], top_p=1,
+                max_iter=200, tol=1e-12,
+            )
+        )
     )
     fitted = rec.prep(df)
     scores = fitted.steps[-1].scores
@@ -1455,6 +1466,168 @@ def _dedup_corpus_oracle() -> str:
     """
 
 
+def _carscore_oracle() -> str:
+    """Full-matrix CAR scores |R_XX^{-1/2} r_xy| with the Schäfer-Strimmer
+    auto-lambda, entirely in SQL: one sufficient-stats pass (the same
+    cov/outer(d,d) composition as operators/select_carscore.py), the
+    centered-squares pass for Var(r_ij), the shrunk matrix
+    (1-lam)R + lam*I, and R^{-1/2} via 60 coupled Newton-Schulz
+    iterations in a recursive CTE (Y->B^{1/2}, Z->B^{-1/2} for
+    B = A/tr(A)) — robust to repeated eigenvalues, e.g. the full-
+    shrinkage lam=1 -> A=I case this data actually hits at sf0.01,
+    where spectral interpolation would divide by zero. Converges to
+    ~1e-15, two orders below the ROUND=6 comparison."""
+    _R = ROUND
+    X = ["l_quantity", "l_discount", "l_tax"]; Y = "l_extendedprice"
+    cols = X + [Y]
+    sums = ["COUNT(*)::DOUBLE AS n"]
+    for i, c in enumerate(cols):
+        sums.append(f"SUM(CAST({c} AS DOUBLE)) AS s{i}")
+        for j in range(i, len(cols)):
+            sums.append(f"SUM(CAST({c} AS DOUBLE) * CAST({cols[j]} AS DOUBLE)) AS p{i}{j}")
+    mexpr = ", ".join(f"s{i}/n AS m{i}" for i in range(4))
+    cov = lambda i, j: f"(p{min(i,j)}{max(i,j)}/n - m{i}*m{j})"
+    dexpr = ", ".join(f"sqrt({cov(i,i)}) AS d{i}" for i in range(4))
+    # r entries incl. diagonal computed the same way as numpy (cov/(d*d))
+    rexpr = ", ".join(
+        f"{cov(i,j)}/(d{i}*d{j}) AS r{i}{j}"
+        for i in range(4) for j in range(i, 4)
+    )
+    # second pass: sum_w2 for feature pairs (centered squares), / var_samp
+    w2sums = ", ".join(
+        f"SUM(pow(CAST({X[i]} AS DOUBLE) - mm.m{i}, 2) * pow(CAST({X[j]} AS DOUBLE) - mm.m{j}, 2)) AS sw{i}{j}"
+        for i in range(3) for j in range(i+1, 3)
+    )
+    vs = lambda i: f"({cov(i,i)} * n / (n - 1))"
+    return f"""
+WITH RECURSIVE s AS (SELECT {', '.join(sums)} FROM lineitem),
+m AS (SELECT *, {mexpr} FROM s),
+d AS (SELECT *, {dexpr} FROM m),
+r AS (SELECT *, {rexpr} FROM d),
+w2raw AS (
+  SELECT {w2sums} FROM lineitem, m AS mm
+),
+lamc AS (
+  SELECT r.*,
+    -- var_r_ij = n/(n-1)^3 * (sum_w2_ij - n*((n-1)/n*r_ij)^2), sum over i!=j = 2*sum i<j
+    (SELECT 2*(
+        (r.n/pow(r.n-1,3)) * (w.sw01/({vs(0)}*{vs(1)}) - r.n*pow((r.n-1)/r.n*r.r01,2))
+      + (r.n/pow(r.n-1,3)) * (w.sw02/({vs(0)}*{vs(2)}) - r.n*pow((r.n-1)/r.n*r.r02,2))
+      + (r.n/pow(r.n-1,3)) * (w.sw12/({vs(1)}*{vs(2)}) - r.n*pow((r.n-1)/r.n*r.r12,2))
+    ) / (2*(r.r01*r.r01 + r.r02*r.r02 + r.r12*r.r12))
+    FROM w2raw w) AS lam_raw
+  FROM r
+),
+lam AS (SELECT *, LEAST(1.0, GREATEST(0.0, lam_raw)) AS lam FROM lamc),
+-- shrunk matrix A = (1-lam)*R + lam*I (diag mirrors numpy r_ii = cov/d^2)
+a AS (
+  SELECT *,
+    (1-lam)*r00 + lam AS a11, (1-lam)*r01 AS a12, (1-lam)*r02 AS a13,
+    (1-lam)*r11 + lam AS a22, (1-lam)*r12 AS a23, (1-lam)*r22 + lam AS a33,
+    r03 AS ry1, r13 AS ry2, r23 AS ry3
+  FROM lam
+),
+ns(it, y11,y12,y13,y22,y23,y33, z11,z12,z13,z22,z23,z33) AS (
+  -- coupled Newton-Schulz: Y->B^(1/2), Z->B^(-1/2) for B = A/tr(A)
+  -- (robust to repeated eigenvalues, unlike spectral interpolation)
+  SELECT 0, a11/(a11+a22+a33), a12/(a11+a22+a33), a13/(a11+a22+a33),
+            a22/(a11+a22+a33), a23/(a11+a22+a33), a33/(a11+a22+a33),
+         1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE, 1.0::DOUBLE
+  FROM a
+  UNION ALL
+  SELECT it+1,
+    (y11*m11 + y12*m12 + y13*m13)/2, (y11*m12 + y12*m22 + y13*m23)/2,
+    (y11*m13 + y12*m23 + y13*m33)/2, (y12*m12 + y22*m22 + y23*m23)/2,
+    (y12*m13 + y22*m23 + y23*m33)/2, (y13*m13 + y23*m23 + y33*m33)/2,
+    (m11*z11 + m12*z12 + m13*z13)/2, (m11*z12 + m12*z22 + m13*z23)/2,
+    (m11*z13 + m12*z23 + m13*z33)/2, (m12*z12 + m22*z22 + m23*z23)/2,
+    (m12*z13 + m22*z23 + m23*z33)/2, (m13*z13 + m23*z23 + m33*z33)/2
+  FROM (
+    SELECT *,
+      3 - (z11*y11 + z12*y12 + z13*y13) AS m11,
+      0 - (z11*y12 + z12*y22 + z13*y23) AS m12,
+      0 - (z11*y13 + z12*y23 + z13*y33) AS m13,
+      3 - (z12*y12 + z22*y22 + z23*y23) AS m22,
+      0 - (z12*y13 + z22*y23 + z23*y33) AS m23,
+      3 - (z13*y13 + z23*y23 + z33*y33) AS m33
+    FROM ns
+  ) WHERE it < 60
+),
+wmat AS (
+  -- A^(-1/2) = Z_60 / sqrt(tr(A)); omega = |A^(-1/2) . r_xy|
+  SELECT a.*, ns.z11/sq AS w11, ns.z12/sq AS w12, ns.z13/sq AS w13,
+         ns.z22/sq AS w22, ns.z23/sq AS w23, ns.z33/sq AS w33
+  FROM a, (SELECT * FROM ns WHERE it = 60) ns,
+       (SELECT sqrt(a11+a22+a33) AS sq FROM a)
+)
+SELECT 'l_discount' AS feature, ROUND(ABS(w12*ry1 + w22*ry2 + w23*ry3), {_R}) AS carscore FROM wmat
+UNION ALL
+SELECT 'l_quantity', ROUND(ABS(w11*ry1 + w12*ry2 + w13*ry3), {_R}) FROM wmat
+UNION ALL
+SELECT 'l_tax', ROUND(ABS(w13*ry1 + w23*ry2 + w33*ry3), {_R}) FROM wmat
+ORDER BY feature
+"""
+
+
+
+def _linear_coefs_oracle(iters: int = 30) -> str:
+    """Binary-logit MLE via Newton/IRLS in a recursive CTE: z-score the
+    features (stddev_samp, NormalizeStep parity), then 30 damped-free Newton
+    steps, each one aggregation pass (weighted Hessian + gradient) and a
+    Cramer 3x3 solve. Converges to ~1e-15; MLlib L-BFGS at tol=1e-12 lands
+    on the same unique optimum (regParam=0, non-separable data)."""
+    # Cramer solve of H d = g (3x3 symmetric)
+    det = ("(h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)"
+           " + h02*(h01*h12 - h11*h02))")
+    d0 = ("(g0*(h11*h22 - h12*h12) - h01*(g1*h22 - h12*g2)"
+          " + h02*(g1*h12 - h11*g2))")
+    d1 = ("(h00*(g1*h22 - g2*h12) - g0*(h01*h22 - h02*h12)"
+          " + h02*(h01*g2 - g1*h02))")
+    d2 = ("(h00*(h11*g2 - h12*g1) - h01*(h01*g2 - h02*g1)"
+          " + g0*(h01*h12 - h11*h02))")
+    _R = ROUND
+    return f"""
+WITH RECURSIVE feat AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(length(props) AS DOUBLE) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS yy
+  FROM events
+),
+nrm AS (
+  SELECT AVG(v) AS mv, STDDEV_SAMP(v) AS sv,
+         AVG(p) AS mp, STDDEV_SAMP(p) AS sp
+  FROM feat
+),
+z AS (SELECT (v - mv)/sv AS x1, (p - mp)/sp AS x2, yy FROM feat, nrm),
+irls(it, b0, b1, b2) AS (
+  SELECT 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+  UNION ALL
+  SELECT it + 1,
+         b0 + {d0}/{det}, b1 + {d1}/{det}, b2 + {d2}/{det}
+  FROM (
+    SELECT i.it, i.b0, i.b1, i.b2, s.*
+    FROM irls i JOIN LATERAL (
+      SELECT SUM(pr*(1-pr)) AS h00, SUM(pr*(1-pr)*x1) AS h01,
+             SUM(pr*(1-pr)*x2) AS h02, SUM(pr*(1-pr)*x1*x1) AS h11,
+             SUM(pr*(1-pr)*x1*x2) AS h12, SUM(pr*(1-pr)*x2*x2) AS h22,
+             SUM(yy - pr) AS g0, SUM((yy - pr)*x1) AS g1,
+             SUM((yy - pr)*x2) AS g2
+      FROM (SELECT x1, x2, yy,
+                   1/(1 + exp(-(i.b0 + i.b1*x1 + i.b2*x2))) AS pr
+            FROM z)
+    ) s ON true
+    WHERE i.it < {iters}
+  )
+)
+SELECT 'props_len' AS feature, ROUND(ABS(b2), {_R}) AS abs_coef
+FROM irls WHERE it = {iters}
+UNION ALL
+SELECT 'value', ROUND(ABS(b1), {_R}) FROM irls WHERE it = {iters}
+ORDER BY feature
+"""
+
+
+
 def _ivf_ann_oracle() -> str:
     """IVF-lite ANN, fully data-driven (no baked constants): the centroid
     sample ordering is md5(str(vec_id)) — computable in DuckDB — and
@@ -1554,10 +1727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
         "infgain_mdl": q_infgain_mdl,
-        # rows-only (no SQL oracle: MLlib iterative fits, media decode)
-        "media_features": q_media_features,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
+        # rows-only (no SQL oracle: RF/GBT ensembles, media decode)
+        "media_features": q_media_features,
         "forest_importance": q_forest_importance,
         "vip_importance": q_vip_importance,
         "boruta_decisions": q_boruta_decisions,
@@ -1829,6 +2002,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
         "infgain_mdl": _infgain_mdl_oracle(),
+        "carscore": _carscore_oracle(),
+        "linear_coefs": _linear_coefs_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

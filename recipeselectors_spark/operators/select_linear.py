@@ -37,12 +37,16 @@ class LinearStep(SelectionStep):
         penalty: float = 0.0,  # regParam (:251-257)
         mixture: float = 0.0,  # elasticNetParam (:258-265)
         max_iter: int = 100,
+        tol: float = 1e-6,  # MLlib convergence tolerance (tighten for
+        # oracle-grade reproducibility: at regParam=0 the MLE is unique, so
+        # a tol of 1e-12 pins the coefficients far below any rounding)
         skip: bool = False,
     ) -> None:
         super().__init__(outcome, terms, top_p, threshold, skip)
         self.penalty = penalty
         self.mixture = mixture
         self.max_iter = max_iter
+        self.tol = tol
 
     def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
         assembled, kind = _mllib.prepare(df, x_names, self.outcome)
@@ -56,12 +60,14 @@ class LinearStep(SelectionStep):
                 regParam=self.penalty,
                 elasticNetParam=self.mixture,
                 maxIter=self.max_iter,
+                tol=self.tol,
             )
         else:
             est = LinearRegression(
                 regParam=self.penalty,
                 elasticNetParam=self.mixture,
                 maxIter=self.max_iter,
+                tol=self.tol,
             )
         model = _mllib.fit_estimator(est, assembled)
         coefs = pull_importances(model, x_names, scaled=False)
