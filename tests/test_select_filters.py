@@ -187,6 +187,18 @@ def test_mrmr_all_pairs_equals_per_iteration(iris):
     assert fast.exclude == slow.exclude
 
 
+def test_mrmr_all_pairs_mixed_types(lending):
+    """Path equivalence must hold with NOMINAL predictors in the mix — their
+    level codes ride through the same (index, code) pair explosion as the
+    binned numeric codes."""
+    pdf, df = lending
+    sub = ["num01", "num02", "cat01", "cat06"]
+    fast = MrmrStep("Class", terms=sub, top_p=2, bins=6).prep(df)
+    slow = MrmrStep("Class", terms=sub, top_p=2, bins=6, all_pairs_max=0).prep(df)
+    _scores_close(fast.scores, slow.scores, rtol=0, atol=0)
+    assert fast.exclude == slow.exclude
+
+
 def test_mrmr_all_pairs_job_count(iris):
     """The fast path must launch a bounded number of Spark jobs regardless
     of p: cut learning + relevance + ONE pairwise shuffle — not one job per
