@@ -674,8 +674,12 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode: synthesized 24-bit BMP / PCM WAV payloads
     through the mapInPandas plumbing (pure-numpy codecs; video frame decode
-    stays stubbed -> decode_ok=false). Deterministic synthesis, no external
-    data; rows-only (DuckDB cannot decode media)."""
+    stays stubbed -> decode_ok=false). The synthesis is deterministic and
+    sf-independent, so the oracle bakes the expected rows as VALUES computed
+    by the SAME numpy pipeline driver-side (honesty note: DuckDB cannot
+    decode media, so this verifies the distributed Arrow/mapInPandas
+    plumbing — batching, ordering, rounding — against a single-process
+    recomputation, not an independent decoder)."""
     from recipeselectors_spark.operators import multimodal
 
     pdf = multimodal.synthesize_real_media_pandas(n=60)
@@ -1206,6 +1210,34 @@ def _fingerprint_oracle(window: int = 16, mod: int = 1 << 31) -> str:
     """
 
 
+def _media_features_oracle() -> str:
+    """Expected decode outputs baked as VALUES: the synthesis is a pure
+    function of n=60 (no table data), so the driver-side numpy pipeline
+    (multimodal.synthesize_real_media_pandas -> decode_media_batch) IS the
+    ground truth; ROUND applied in SQL so both sides share DuckDB/Spark
+    HALF_UP semantics."""
+    from recipeselectors_spark.operators import multimodal
+
+    pdf = multimodal.synthesize_real_media_pandas(n=60)
+    feats, ok = multimodal.decode_media_batch(pdf["payload"], pdf["kind"])
+    rows = []
+    for i in range(len(pdf)):
+        payload = pdf["payload"].iloc[i]
+        rows.append(
+            f"({int(pdf['media_id'].iloc[i])}, '{pdf['kind'].iloc[i]}', "
+            f"{0 if payload is None else len(payload)}, "
+            f"{'true' if ok[i] else 'false'}, "
+            f"{feats[i][0]!r}::DOUBLE, {feats[i][4]!r}::DOUBLE)"
+        )
+    values = ",\n              ".join(rows)
+    return f"""
+        SELECT media_id, kind, n_bytes, decode_ok,
+               ROUND(rf1, {ROUND}) AS f1, ROUND(rf5, {ROUND}) AS f5
+        FROM (VALUES {values})
+             AS t(media_id, kind, n_bytes, decode_ok, rf1, rf5)
+    """
+
+
 _MDL_Y = "CAST(floor(value * 3) AS BIGINT) % 2 = 0"
 
 
@@ -1729,8 +1761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infgain_mdl": q_infgain_mdl,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
-        # rows-only (no SQL oracle: RF/GBT ensembles, media decode)
         "media_features": q_media_features,
+        # rows-only (no SQL oracle: RF/GBT ensemble fits with MLlib-internal
+        # RNG streams — the only genuinely non-replayable operators)
         "forest_importance": q_forest_importance,
         "vip_importance": q_vip_importance,
         "boruta_decisions": q_boruta_decisions,
@@ -2004,6 +2037,7 @@ def oracle_sql() -> dict[str, str]:
         "infgain_mdl": _infgain_mdl_oracle(),
         "carscore": _carscore_oracle(),
         "linear_coefs": _linear_coefs_oracle(),
+        "media_features": _media_features_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

@@ -51,3 +51,68 @@ def test_session_window_stream_executes(spark, stream_dir):
         n_sessions(g) for _, g in batch.groupby("conv_id")
     )
     assert len(got) == want_sessions
+
+
+def test_stateful_turn_features_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState carries per-conversation state ACROSS
+    micro-batches: three time-ordered parquet files processed one per
+    trigger (maxFilesPerTrigger=1, availableNow) must produce exactly the
+    single-pass batch computation of running turn index + cumulative
+    average text length."""
+    import numpy as np
+
+    from recipeselectors_spark.streaming import stateful_turn_features
+
+    pdf = T.synthesize_transcripts_pandas(n_convs=12, seed=21)
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    # split each conversation's timeline into 3 consecutive chunks so the
+    # files arrive in ts order per conversation
+    d = tmp_path / "tx"
+    d.mkdir()
+    rank = pdf.groupby("conv_id").cumcount()
+    size = pdf.groupby("conv_id")["ts"].transform("size")
+    for i in range(3):
+        chunk = pdf[(rank * 3 // size) == i]
+        spark.createDataFrame(chunk, schema=T.TRANSCRIPT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(T.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "f*"))
+    )
+    out = stateful_turn_features(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_turns")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # state really crossed batches
+    got = (
+        spark.sql("SELECT * FROM stateful_turns")
+        .toPandas()
+        .sort_values(["conv_id", "turn_in_conv"])
+        .reset_index(drop=True)
+    )
+
+    want = pdf.copy()
+    want["len"] = want["text"].fillna("").str.len().astype(float)
+    want["turn_in_conv"] = want.groupby("conv_id").cumcount()
+    want["cum_avg_text_len"] = (
+        want.groupby("conv_id")["len"].cumsum()
+        / (want["turn_in_conv"] + 1)
+    )
+    want = want.sort_values(["conv_id", "turn_in_conv"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["turn_in_conv"].tolist() == want["turn_in_conv"].tolist()
+    np.testing.assert_allclose(
+        got["cum_avg_text_len"].to_numpy(),
+        want["cum_avg_text_len"].to_numpy(),
+        rtol=1e-12,
+    )

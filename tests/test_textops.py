@@ -448,3 +448,30 @@ def test_xxh64_sql_matches_spark(spark):
     }
     for r in rows:
         assert got[r["s"]] == (r["h_str"], r["h_chain"], r["h_long"]), r["s"]
+
+
+def test_xxh64_sql_length_sweep(spark):
+    """Every input length 0..70 — covers each (stripe count, word tail, int
+    tail, byte tail) combination around the 8/32-byte boundaries, with
+    varied byte content so lane mixing is exercised."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from recipeselectors_spark.functions import xxh64_sql as X
+
+    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ,.!"
+    tests = [
+        alphabet[n % 13:][:n] if n <= len(alphabet) else (alphabet * 3)[:n]
+        for n in range(0, 71)
+    ]
+    df = spark.createDataFrame([(t,) for t in tests], "s string")
+    rows = df.select("s", F.xxhash64("s").alias("h")).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(r["s"],) for r in rows])
+    expr = X.to_signed_sql(X.xxh64_str_sql("s"))
+    got = dict(con.execute(f"SELECT s, {expr} FROM t").fetchall())
+    for r in rows:
+        assert got[r["s"]] == r["h"], f"len={len(r['s'])}"
