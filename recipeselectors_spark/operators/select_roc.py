@@ -79,15 +79,27 @@ class RocStep(SelectionStep):
             .groupBy("feature", "x", "y")
             .agg(F.count("*").alias("n"))
         )
-        classes = sorted(
-            r[0] for r in hist3.select("y").distinct().collect()
-        )
+        # ONE job reads BOTH the class set and the histogram size (the
+        # two-level-scan gate below) off the compact frame
+        class_rows = hist3.groupBy("y").agg(F.count("*").alias("rows")).collect()
+        classes = sorted(r["y"] for r in class_rows)
+        hist_rows = sum(r["rows"] for r in class_rows)
         if len(classes) == 2:
-            return self._score_binary(hist3, x_names, classes)
+            return self._score_binary(hist3, x_names, classes, hist_rows)
         return self._score_multiclass(hist3, x_names)
 
+    # Above this many distinct-value histogram rows, the cumulative scan
+    # switches to the two-level (bucketed) form: a bare per-feature window
+    # is faster below it (fewer jobs) but becomes a single-task sort of a
+    # continuous feature's whole value histogram at 100 TB scale.
+    TWO_LEVEL_THRESHOLD = 2_000_000
+
     def _score_binary(
-        self, hist3: DataFrame, x_names: list[str], classes: list[str]
+        self,
+        hist3: DataFrame,
+        x_names: list[str],
+        classes: list[str],
+        hist_rows: int = 0,
     ) -> dict[str, float]:
         pos = classes[0]
         # re-agg of the compact histogram (distinct values only), not raw rows
@@ -95,14 +107,19 @@ class RocStep(SelectionStep):
             F.sum(F.when(F.col("y") == pos, F.col("n")).otherwise(0)).alias("w_pos"),
             F.sum(F.when(F.col("y") != pos, F.col("n")).otherwise(0)).alias("w_neg"),
         )
-        w = Window.partitionBy("feature").orderBy("x")
-        cum = hist.withColumn(
-            "cum_neg",
-            F.coalesce(
-                F.sum("w_neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0.0),
-            ),
-        )
+        if hist_rows > self.TWO_LEVEL_THRESHOLD:
+            cum = self._cum_neg_two_level(hist)
+        else:
+            w = Window.partitionBy("feature").orderBy("x")
+            cum = hist.withColumn(
+                "cum_neg",
+                F.coalesce(
+                    F.sum("w_neg").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0.0),
+                ),
+            )
         res = (
             cum.groupBy("feature")
             .agg(
@@ -127,6 +144,57 @@ class RocStep(SelectionStep):
             else:
                 out[c] = float(a)
         return out
+
+    @staticmethod
+    def _cum_neg_two_level(hist: DataFrame) -> DataFrame:
+        """TWO-LEVEL prefix scan for huge value histograms. A plain
+        ``Window.partitionBy("feature")`` puts each feature's ENTIRE
+        distinct-value histogram in one task — a single-task sort of
+        billions of values for a continuous feature at 100 TB. Instead:
+        (1) range-bucket each feature by approx percentiles (broadcast
+        boundaries), (2) per-(feature, bucket) w_neg totals -> exclusive
+        prefix offsets on the driver (p×B rows, bounded), (3) the
+        cumulative window runs WITHIN (feature, bucket) — parallelism p×B,
+        each task bounded by ~distinct/B. All quantities are integer counts
+        in doubles, so the regrouped sums are bit-identical to the
+        single-window form (pinned by test)."""
+        spark = hist.sparkSession
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = hist.groupBy("feature").agg(
+            F.percentile_approx("x", qs, 1_000).alias("__bs__")
+        )
+        h2 = (
+            hist.join(F.broadcast(bounds), "feature")
+            .withColumn(
+                "bucket", F.size(F.filter("__bs__", lambda b: b < F.col("x")))
+            )
+            .drop("__bs__")
+        )
+        off_pdf = (
+            h2.groupBy("feature", "bucket")
+            .agg(F.sum("w_neg").alias("s"))
+            .toPandas()
+            .sort_values(["feature", "bucket"])
+        )
+        off_pdf["offset"] = (
+            off_pdf.groupby("feature")["s"].cumsum() - off_pdf["s"]
+        )
+        offsets = F.broadcast(
+            spark.createDataFrame(
+                off_pdf[["feature", "bucket", "offset"]],
+                "feature string, bucket int, offset double",
+            )
+        )
+        w = Window.partitionBy("feature", "bucket").orderBy("x")
+        return h2.join(offsets, ["feature", "bucket"]).withColumn(
+            "cum_neg",
+            F.coalesce(
+                F.sum("w_neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            )
+            + F.col("offset"),
+        )
 
     def _score_multiclass(
         self, hist3: DataFrame, x_names: list[str]
