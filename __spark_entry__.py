@@ -833,6 +833,120 @@ def q_forest_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, importance double")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones/IPv4 -> typed placeholders) over documents
+    augmented with deterministic synthetic PII. Patterns live in the
+    Java-regex ∩ RE2 common subset so the DuckDB oracle runs the SAME
+    patterns; output = per-doc redaction count + md5 of the scrubbed text."""
+    from recipeselectors_spark.functions import text as TX
+
+    docs = _documents(spark, sf_dir)
+    aug = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    return aug.select(
+        "doc_id",
+        TX.pii_count("t").cast("bigint").alias("n_pii"),
+        F.md5(TX.scrub_pii("t")).alias("scrubbed_md5"),
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    from recipeselectors_spark.functions.text import PII_PATTERNS
+
+    counts = " + ".join(
+        f"length(regexp_extract_all(t, '{pat}'))" for _, pat in PII_PATTERNS
+    )
+    scrub = "t"
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name}>', 'g')"
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-123-4567 at 10.0.0.'
+                      || CAST(doc_id % 256 AS VARCHAR) AS t
+          FROM documents
+        )
+        SELECT doc_id, CAST({counts} AS BIGINT) AS n_pii,
+               md5({scrub}) AS scrubbed_md5
+        FROM aug
+    """
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-50 (explode -> map-side-combined
+    count -> TakeOrdered): the classic corpus-stats pass."""
+    from recipeselectors_spark.functions import text as TX
+
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+_TOKEN_TOPK_ORACLE = """
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    WHERE token != ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup with TRUE duplicate clusters: exact-first, MinHash-LSH
+    pairs, connected components (iterative min-label propagation), keep the
+    min id per component. The oracle recomputes the components with a
+    recursive transitive-closure CTE over the same bit-exact XXH64 MinHash
+    pipeline."""
+    from recipeselectors_spark.operators import dedup as D
+
+    out = D.dedup_corpus_clusters(_documents(spark, sf_dir), threshold=0.8)
+    return out.select("doc_id")
+
+
+def _dedup_clusters_oracle() -> str:
+    uniq = """
+        uniq AS (
+          SELECT doc_id, text FROM documents
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1
+        ),
+    """
+    return f"""
+        WITH RECURSIVE {uniq}
+        {_minhash_pipeline_sql('uniq', threshold=0.8, max_bucket=10_000)},
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM near_dup_pairs
+          UNION ALL
+          SELECT id_b, id_a FROM near_dup_pairs
+        ),
+        reach(a, b) AS (
+          SELECT doc_id, doc_id FROM uniq
+          UNION
+          SELECT r.a, e.d FROM reach r JOIN sym e ON e.s = r.b
+        ),
+        lab AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)
+        SELECT doc_id FROM lab WHERE doc_id = cluster
+    """
+
+
 def q_tree_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision-tree importance (TreeStep, step_select_tree.R:134-195). At
     depth 1 the importance vector is {split feature: 100, other: 0} after
@@ -1756,6 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "tree_importance": q_tree_importance,
+        "pii_scrub": q_pii_scrub,
+        "token_topk": q_token_topk,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
         "infgain_mdl": q_infgain_mdl,
@@ -2032,6 +2149,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "fingerprint": _fingerprint_oracle(),
         "tree_importance": _TREE_ORACLE,
+        "pii_scrub": _pii_scrub_oracle(),
+        "token_topk": _TOKEN_TOPK_ORACLE,
+        "dedup_clusters": _dedup_clusters_oracle(),
         "minhash_pairs": _minhash_pairs_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
         "infgain_mdl": _infgain_mdl_oracle(),

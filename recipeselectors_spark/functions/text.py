@@ -103,6 +103,34 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
 
 
+# PII patterns: kept inside the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the DuckDB oracle can run the SAME patterns
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact common PII (emails, NNN-NNN-NNNN phones, IPv4) with typed
+    placeholders — the standard pre-training scrub pass, pure Catalyst
+    regexp_replace chain (JVM, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{name}>")
+    return c
+
+
+def pii_count(col: Column | str) -> Column:
+    """How many PII spans the scrub would redact (for filtering/reporting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+    return n
+
+
 # ---- numpy-side helpers (oracles + pandas-UDF kernels) -------------------
 
 def simhash64(token_lists: "list[list[str]]") -> np.ndarray:

@@ -300,6 +300,94 @@ def embedding_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components over near-dup pairs.
+
+    ``pairs`` is an (id_a, id_b) edge list, ``vertices`` the universe (ids
+    not in any pair become singleton components). Each round joins the
+    current labels across the symmetrized edges and keeps the per-vertex
+    minimum — labels converge to the component-minimum id in O(diameter)
+    rounds (near-dup components are shallow: duplicate clusters are
+    near-cliques from the LSH bucket join, so 2-4 rounds in practice; the
+    large-star/small-star variant would cut worst-case rounds to
+    O(log diameter) if pathological chain components ever mattered). The
+    driver loop runs one bounded action per round (the change count) and
+    localCheckpoints every round to keep the plan from growing with the
+    iteration count — lineage length, not data size, is the scale risk in
+    iterative Spark jobs.
+
+    Returns (id_col, cluster) with cluster = min id of the component.
+    """
+    lab = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(lab, sym.src == lab.v)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_lab = (
+            lab.join(prop, lab.v == prop.dst, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                    "__chg__"
+                ),
+            )
+        ).localCheckpoint()
+        changed = new_lab.where(F.col("__chg__")).limit(1).count()
+        lab = new_lab.drop("__chg__")
+        if changed == 0:
+            break
+    return lab.select(F.col("v").alias(id_col), F.col("label").alias("cluster"))
+
+
+def dedup_corpus_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Corpus dedup with TRUE duplicate clusters: exact-dedup first, MinHash
+    near-dup pairs on the representatives, connected components over the
+    pair graph, keep the minimum id of each component.
+
+    Unlike :func:`dedup_corpus` (keep-first over raw pairs), transitive
+    chains collapse correctly: if A~B and B~C but A!~C, keep-first keeps
+    {A, C} while the cluster form keeps {A} — the semantics large corpus
+    dedup pipelines actually want."""
+    uniq = drop_exact_duplicates(df, text_col, id_col)
+    pairs = minhash_dedup_pairs(
+        uniq, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, threshold=threshold, max_bucket=max_bucket,
+    )
+    comp = connected_components(pairs, uniq.select(id_col), id_col)
+    return (
+        uniq.join(comp, id_col)
+        .where(F.col(id_col) == F.col("cluster"))
+        .drop("cluster")
+    )
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fingerprint",
     window: int = 16,

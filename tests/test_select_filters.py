@@ -223,6 +223,32 @@ def test_mrmr_all_pairs_job_count(iris):
     assert fast <= 8, fast
 
 
+def test_xtab_fisher_beyond_dfs_budget_is_exact(spark):
+    """A 6-level factor × binary outcome whose 954,060 same-margin tables
+    exceed the 500k DFS budget: the step must route to the FEXACT network
+    algorithm and return the EXACT p (pinned against a raw 10M-budget DFS
+    run), with NO chi-square-fallback warning."""
+    import warnings
+
+    counts = [[7, 13], [11, 4], [5, 9], [12, 13], [7, 2], [14, 12]]
+    rows = [
+        (f"lv{i}", cls)
+        for i, (a, b) in enumerate(counts)
+        for cls, k in (("yes", a), ("no", b))
+        for _ in range(k)
+    ]
+    df = spark.createDataFrame(rows, "cat string, Class string")
+    with warnings.catch_warnings():
+        # the chi-square fallback warning (and only it) is a failure
+        warnings.filterwarnings("error", message=".*chi-square.*")
+        fitted = XtabStep(
+            "Class", terms=["cat"], threshold=0.5, test="fisher"
+        ).prep(df)
+    np.testing.assert_allclose(
+        fitted.scores["cat"], 0.11085372099126315, atol=1e-9
+    )
+
+
 # -- carscore --------------------------------------------------------------
 
 def test_carscore_match_oracle(cars):

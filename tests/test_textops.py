@@ -475,3 +475,67 @@ def test_xxh64_sql_length_sweep(spark):
     got = dict(con.execute(f"SELECT s, {expr} FROM t").fetchall())
     for r in rows:
         assert got[r["s"]] == r["h"], f"len={len(r['s'])}"
+
+
+def test_connected_components_semantics(spark):
+    """Chains collapse to the component minimum; untouched vertices stay
+    singletons; convergence stops early."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long")
+    got = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(pairs, verts).collect()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C but A!~C: keep-first (dedup_corpus) keeps BOTH endpoints,
+    the connected-components form keeps exactly one representative — the
+    semantics corpus dedup actually wants."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lambda mu nu xi omicron pi rho sigma tau upsilon".split()
+    mid = list(base); mid[0] = "CHANGED0"; mid[1] = "CHANGED1"
+    far = list(mid)
+    for i, w in enumerate((10, 11, 12, 13)):
+        far[w] = f"FAR{i}"
+    docs = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(mid)), (2, " ".join(far)),
+         (9, "a completely different unrelated document about rivers")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.45).toPandas()
+    edge_set = set(zip(pairs["id_a"], pairs["id_b"]))
+    # the premise: adjacent pairs similar, endpoints not
+    assert (0, 1) in edge_set and (1, 2) in edge_set
+    assert (0, 2) not in edge_set
+
+    keep_first = dedup.dedup_corpus(docs, threshold=0.45, num_perm=32, bands=8)
+    clustered = dedup.dedup_corpus_clusters(
+        docs, threshold=0.45, num_perm=32, bands=8
+    )
+    kf = sorted(r["doc_id"] for r in keep_first.select("doc_id").collect())
+    cl = sorted(r["doc_id"] for r in clustered.select("doc_id").collect())
+    assert kf == [0, 9]  # keep-first drops 1 AND 2 (both appear as id_b)...
+    assert cl == [0, 9]  # ...here; the distinguishing case is below
+
+    # chain where the middle doc is the SMALLEST id: keep-first keeps both
+    # endpoints (neither appears as id_b of a surviving pair chain), the
+    # cluster form keeps only the component minimum
+    docs2 = spark.createDataFrame(
+        [(5, " ".join(base)), (1, " ".join(mid)), (8, " ".join(far))],
+        "doc_id long, text string",
+    )
+    kf2 = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_corpus(docs2, threshold=0.45).select("doc_id").collect()
+    )
+    cl2 = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_corpus_clusters(docs2, threshold=0.45)
+        .select("doc_id").collect()
+    )
+    assert cl2 == [1]          # one component {1,5,8} -> min id only
+    assert kf2 == [1]          # (1,5),(1,8) pairs: both 5 and 8 are id_b
