@@ -99,6 +99,17 @@ def run_bench() -> None:
     timings["assemble_4m_turns"] = round(dt, 3)
     total += dt
 
+    # training-data-pipeline operators, timed but kept OUT of the headline
+    # total so `value` stays comparable round-over-round (the headline set
+    # was fixed in round 1)
+    extra: dict[str, float] = {}
+    for name in ("minhash_pairs", "dedup_corpus", "dedup_clusters", "lsh_ann",
+                 "pii_scrub", "token_topk"):
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        extra[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -106,6 +117,7 @@ def run_bench() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_ops": extra,
                 "sf": _sf_from_dir(SF_DIR),
                 "turns_per_sec": round(n_turns / dt, 1),
             }

@@ -191,6 +191,14 @@ def minhash_dedup_pairs(
     sigs = with_minhash(
         df.select(id_col, text_col), text_col, num_perm, k_shingle, seed
     ).select(id_col, "minhash")
+    # materialize the signatures ONCE and cut the lineage: sigs feeds FOUR
+    # downstream branches (both sides of the bucket self-join + both sides
+    # of the est-verify join), and without the barrier Catalyst re-inlines
+    # the num_perm×(shingle->hash->min) expression tree into every branch —
+    # measured 265 s vs 8 s at sf0.1, almost all of it driver-side
+    # optimizer/codegen time on the exploded plan. The signature table is
+    # (id, num_perm longs) — tiny relative to the corpus at any scale.
+    sigs = sigs.localCheckpoint()
     cand = cap_buckets(
         minhash_candidates(sigs, id_col, "minhash", bands), max_bucket
     )
