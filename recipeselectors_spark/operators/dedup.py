@@ -282,14 +282,17 @@ def embedding_near_dup_pairs(
     dim = len(df.select(vec_col).first()[0])
     renamed = df.select(id_col, F.col(vec_col).alias("__v__"))
     # planes ship as one broadcast array column (codegen-safe at dim 768+),
-    # all bands in a single pass — see similarity.with_band_buckets
+    # all bands in a single pass — see similarity.with_band_buckets.
+    # localCheckpoint: the banded frame feeds BOTH sides of the bucket
+    # self-join; without the barrier the sign-signature expression tree is
+    # re-inlined into each branch (same blowup as minhash_dedup_pairs)
     banded = cap_buckets(
         S.with_band_buckets(
             renamed, "__v__", [id_col, "__v__"], dim, n_planes, bands, seed,
             stride=31,
         ),
         max_bucket,
-    )
+    ).localCheckpoint()
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -452,12 +455,14 @@ def simhash_near_dup_pairs(
             for i in range(4)
         ]
     )
+    # barrier before the self-join: the signature is a pandas-UDF column —
+    # without it the UDF runs once per join branch (2x Arrow round trips)
     exploded = cap_buckets(
         sig.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
             id_col, "simhash", "bb.band", "bb.bucket"
         ),
         max_bucket,
-    )
+    ).localCheckpoint()
     return (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "bucket"])
