@@ -1041,6 +1041,31 @@ def q_vip_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, importance double")
 
 
+def q_vip_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIP registry path with a DETERMINISTIC user model: a depth-1
+    DecisionTreeRegressor through VipStep (estimator cloning + the
+    pull_importances dispatch + the 0-100 rescale) — same variance-gain
+    argmax oracle as tree_importance, but exercising the user-supplied-
+    estimator surface end-to-end (step_select_vip.R:120-162). The GBT
+    variant stays rows-only (`vip_importance`) — iterative ensembles are
+    not SQL-replayable."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from recipeselectors_spark.operators import VipStep
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    fitted = VipStep(
+        "l_extendedprice",
+        model=DecisionTreeRegressor(maxDepth=1, maxBins=1000, seed=42),
+        terms=["l_quantity", "l_discount"],
+        top_p=1,
+    ).prep(li)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
 def q_boruta_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boruta all-relevant decisions (step_select_boruta.R:97-133,
     Boruta:::TestFeatures semantics). Rows-only: per-run RF importances are
@@ -1873,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_topk": q_token_topk,
         "dedup_clusters": q_dedup_clusters,
+        "vip_tree": q_vip_tree,
         "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
         "infgain_mdl": q_infgain_mdl,
@@ -2152,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "token_topk": _TOKEN_TOPK_ORACLE,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "vip_tree": _TREE_ORACLE,
         "minhash_pairs": _minhash_pairs_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
         "infgain_mdl": _infgain_mdl_oracle(),
