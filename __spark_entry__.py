@@ -947,6 +947,131 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic sampling (operators/sampling.py): membership =
+    pmod(xxhash64(str(key), salt), 1e6) < frac*1e6 — same sample on any
+    layout/cluster/engine, unlike df.sample(seed) which changes with the
+    partitioning. Stratified: 'en'-labeled docs kept at a different rate.
+    Oracle replays the hash via the XXH64 SQL port."""
+    from recipeselectors_spark.functions import text as TX
+    from recipeselectors_spark.operators import sampling
+
+    docs = _documents(spark, sf_dir).withColumn(
+        "lang", TX.langid_expr("text")
+    )
+    out = sampling.deterministic_sample(
+        docs, 0.25, key="doc_id", salt=7,
+        strata={"en": 0.5}, strata_col="lang",
+    )
+    return out.select("doc_id", "lang")
+
+
+def _det_sample_oracle() -> str:
+    from recipeselectors_spark.functions import xxh64_sql as X
+    from recipeselectors_spark.operators.sampling import BUCKETS
+
+    h = X.to_signed_sql(
+        X.hash_int_sql("7", X.xxh64_str_sql("CAST(doc_id AS VARCHAR)"))
+    )
+    bucket = f"(({h}) % {BUCKETS} + {BUCKETS}) % {BUCKETS}"
+    return f"""
+        WITH langed AS (
+          SELECT doc_id, lang_pred AS lang FROM ({_langid_oracle()})
+        )
+        SELECT doc_id, lang FROM langed
+        WHERE {bucket} < CASE WHEN lang = 'en'
+                              THEN {int(0.5 * BUCKETS)}
+                              ELSE {int(0.25 * BUCKETS)} END
+    """
+
+
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test split: disjoint, exhaustive, deterministic
+    by key content — rows of one key co-travel (leakage-free grouped
+    splits). Oracle replays the cutoff chain over the same XXH64 buckets."""
+    from recipeselectors_spark.operators import sampling
+
+    docs = _documents(spark, sf_dir)
+    out = sampling.split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key="doc_id", salt=1
+    )
+    return out.select("doc_id", "split")
+
+
+def _split_hash_oracle() -> str:
+    from recipeselectors_spark.functions import xxh64_sql as X
+    from recipeselectors_spark.operators.sampling import BUCKETS
+
+    h = X.to_signed_sql(
+        X.hash_int_sql("1", X.xxh64_str_sql("CAST(doc_id AS VARCHAR)"))
+    )
+    bucket = f"(({h}) % {BUCKETS} + {BUCKETS}) % {BUCKETS}"
+    # names sorted: test, train, val; cumulative cutoffs 0.1, 0.9; rest=val
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {bucket} < {int(0.1 * BUCKETS)} THEN 'test'
+                    WHEN {bucket} < {int(0.9 * BUCKETS)} THEN 'train'
+                    ELSE 'val' END AS split
+        FROM documents
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 2 word-3-
+    shingles with a benchmark set (here: docs with doc_id < 20 as a stand-in
+    benchmark, guaranteeing both organic hits and clean docs). Oracle
+    replays the xxhash64 shingle sets in SQL."""
+    from recipeselectors_spark.operators import dedup as D
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") < 20).select("text")
+    out = D.decontaminate(docs, bench, min_overlap=2)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+def _decontaminate_oracle() -> str:
+    from recipeselectors_spark.functions import xxh64_sql as X
+
+    shingle_hash = X.to_signed_sql(X.xxh64_str_sql("sh_str"))
+
+    def xxh_of(expr: str) -> str:
+        return X.stage(expr, "sh_str", shingle_hash)
+
+    hs_ge = (
+        f"list_distinct([{xxh_of('array_to_string(toks[i:i+2], chr(32))')}"
+        f" FOR i IN generate_series(1, length(toks)-2)])"
+    )
+    hs_lt = f"[{xxh_of('array_to_string(toks, chr(32))')}]"
+    return f"""
+        WITH toks_t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x != '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(toks) >= 3 THEN {hs_ge} ELSE {hs_lt} END AS hs
+          FROM toks_t
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(hs) AS s FROM sh WHERE doc_id < 20
+        ),
+        doc_sh AS (SELECT doc_id, unnest(hs) AS s FROM sh),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n FROM doc_sh JOIN bench USING (s)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+               COALESCE(h.n, 0) >= 2 AS contaminated
+        FROM toks_t t LEFT JOIN hits h USING (doc_id)
+    """
+
+
 def q_tree_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision-tree importance (TreeStep, step_select_tree.R:134-195). At
     depth 1 the importance vector is {split feature: 100, other: 0} after
@@ -1899,6 +2024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "dedup_clusters": q_dedup_clusters,
         "vip_tree": q_vip_tree,
+        "det_sample": q_det_sample,
+        "split_hash": q_split_hash,
+        "decontaminate": q_decontaminate,
         "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
         "infgain_mdl": q_infgain_mdl,
@@ -2179,6 +2307,9 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": _TOKEN_TOPK_ORACLE,
         "dedup_clusters": _dedup_clusters_oracle(),
         "vip_tree": _TREE_ORACLE,
+        "det_sample": _det_sample_oracle(),
+        "split_hash": _split_hash_oracle(),
+        "decontaminate": _decontaminate_oracle(),
         "minhash_pairs": _minhash_pairs_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
         "infgain_mdl": _infgain_mdl_oracle(),

@@ -311,6 +311,48 @@ def embedding_near_dup_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    ``min_overlap`` word-``k_shingle``s with ANY benchmark text — the
+    standard pre-training eval-leakage scrub (n-gram collision check).
+
+    Plan: both sides shingle in Catalyst (xxhash64, zero Python); the
+    benchmark shingle set is DISTINCT and exploded to (shingle) keys — at
+    real scale benchmarks are ~1e6 docs vs 1e10+ training docs, so the
+    exploded docs side joins against the (broadcastable) benchmark shingle
+    set and aggregates matches per doc. Returns docs + ``n_contaminated``
+    + ``contaminated`` flag; filter on it to drop.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(TX.shingles(text_col, k=k_shingle)).alias("__sh__")
+        )
+        .distinct()
+    )
+    # shingles() is array_distinct per doc, so (id, shingle) pairs are
+    # already unique after the explode — no dedup shuffle needed
+    doc_sh = docs.select(
+        id_col, F.explode(TX.shingles(text_col, k=k_shingle)).alias("__sh__")
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "__sh__")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn("contaminated", F.col("n_contaminated") >= min_overlap)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,

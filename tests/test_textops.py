@@ -539,3 +539,78 @@ def test_dedup_clusters_transitive_chain(spark):
     )
     assert cl2 == [1]          # one component {1,5,8} -> min id only
     assert kf2 == [1]          # (1,5),(1,8) pairs: both 5 and 8 are id_b
+
+
+# -- sampling / splitting / decontamination ---------------------------------
+
+def test_deterministic_sample_layout_invariant(spark):
+    """The sampled id set must be IDENTICAL under any partitioning — the
+    property df.sample(seed) does not have."""
+    from recipeselectors_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs, 0.3, "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            docs.repartition(17), 0.3, "doc_id"
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    # fraction lands near target (hash buckets are uniform)
+    assert abs(len(a) / docs.count() - 0.3) < 0.1
+    # a different salt draws a different set
+    c = sorted(
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            docs, 0.3, "doc_id", salt=99
+        ).collect()
+    )
+    assert a != c
+
+
+def test_split_by_hash_disjoint_exhaustive(spark):
+    from recipeselectors_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = sampling.split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key="doc_id"
+    ).toPandas()
+    assert len(out) == docs.count()  # exhaustive, one label per row
+    frac = out["split"].value_counts(normalize=True)
+    assert frac["train"] > 0.7 and frac["val"] < 0.2 and frac["test"] < 0.2
+    # deterministic: same call, same assignment
+    out2 = sampling.split_by_hash(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key="doc_id"
+    ).toPandas()
+    assert out.sort_values("doc_id")["split"].tolist() == \
+           out2.sort_values("doc_id")["split"].tolist()
+
+
+def test_decontaminate_flags_overlap(spark):
+    """Docs sharing >= min_overlap shingles with the benchmark are flagged;
+    disjoint docs are not; the benchmark's own texts are fully flagged."""
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact
+            (2, "a quick brown fox jumps over a sleeping dog"),  # partial
+            (3, "completely unrelated text about gardens and rivers today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup.decontaminate(docs, bench, min_overlap=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[1, "n_contaminated"] == 7  # all 7 shingles of a 9-token doc
+    assert bool(out.loc[2, "contaminated"])   # shares 'brown fox jumps over' span
+    assert not bool(out.loc[3, "contaminated"])
+    assert out.loc[3, "n_contaminated"] == 0
