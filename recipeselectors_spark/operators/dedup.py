@@ -318,6 +318,7 @@ def decontaminate(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     min_overlap: int = 2,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing >=
     ``min_overlap`` word-``k_shingle``s with ANY benchmark text — the
@@ -336,13 +337,18 @@ def decontaminate(
         )
         .distinct()
     )
+    # a typical benchmark set broadcasts (1e6 docs ≈ 1e8 shingle hashes =
+    # ~1 GB); set broadcast_benchmark=False for giant benchmark corpora to
+    # fall back to a shuffle join
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     # shingles() is array_distinct per doc, so (id, shingle) pairs are
     # already unique after the explode — no dedup shuffle needed
     doc_sh = docs.select(
         id_col, F.explode(TX.shingles(text_col, k=k_shingle)).alias("__sh__")
     )
     hits = (
-        doc_sh.join(F.broadcast(bench_sh), "__sh__")
+        doc_sh.join(bench_sh, "__sh__")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
