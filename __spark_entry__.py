@@ -246,6 +246,39 @@ FROM spine s ASOF LEFT JOIN feats f
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 10-minute tolerance: a carried feature older
+    than the tolerance is nulled out, measured on the carried ROW's own ts
+    (merge_asof semantics). Oracle: DuckDB ASOF LEFT JOIN + age post-filter
+    (DuckDB ASOF has no native tolerance)."""
+    from recipeselectors_spark.operators import asof
+
+    spine, feats = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join_union(
+        spine, feats, ["click_value"], on="conv_id", tolerance_s=600
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
+    )
+
+
+_ASOF_TOL_ORACLE = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+spine AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT s.user_id, s.ts, s.purchase_id,
+       CASE WHEN epoch(s.ts) - epoch(f.ts) <= 600 THEN f.click_value END
+         AS click_value
+FROM spine s ASOF LEFT JOIN feats f
+  ON s.user_id = f.user_id AND s.ts >= f.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # selection-step scoring (distributed operators → tiny score frames)
 # ---------------------------------------------------------------------------
@@ -1998,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "asof_union": q_asof_union,
         "asof_cogroup": q_asof_cogroup,
+        "asof_tolerance": q_asof_tolerance,
         "roc_auc": q_roc_auc,
         "infgain_equalfreq": q_infgain_equalfreq,
         "chi2_stat": q_chi2_stat,
@@ -2137,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_ORACLE,
         "asof_union": _ASOF_ORACLE,
         "asof_cogroup": _ASOF_ORACLE,
+        "asof_tolerance": _ASOF_TOL_ORACLE,
         "roc_auc": _ROC_ORACLE,
         "infgain_equalfreq": _INFGAIN_ORACLE,
         "chi2_stat": _CHI2_ORACLE,
