@@ -262,6 +262,37 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of through the cogroup sorted-merge strategy (the next
+    feature row at-or-after each spine ts) — DuckDB ASOF supports the <=
+    comparison, so the direction variants are oracle-checked too."""
+    from recipeselectors_spark.operators import asof
+
+    spine, feats = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join_cogroup(
+        spine, feats, ["click_value"], on="conv_id", num_shards=16,
+        direction="forward",
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
+    )
+
+
+_ASOF_FWD_ORACLE = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+spine AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT s.user_id, s.ts, s.purchase_id, f.click_value
+FROM spine s ASOF LEFT JOIN feats f
+  ON s.user_id = f.user_id AND s.ts <= f.ts
+"""
+
+
 _ASOF_TOL_ORACLE = """
 WITH feats AS (
   SELECT user_id, ts, max(value) AS click_value
@@ -2032,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union": q_asof_union,
         "asof_cogroup": q_asof_cogroup,
         "asof_tolerance": q_asof_tolerance,
+        "asof_forward": q_asof_forward,
         "roc_auc": q_roc_auc,
         "infgain_equalfreq": q_infgain_equalfreq,
         "chi2_stat": q_chi2_stat,
@@ -2172,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_union": _ASOF_ORACLE,
         "asof_cogroup": _ASOF_ORACLE,
         "asof_tolerance": _ASOF_TOL_ORACLE,
+        "asof_forward": _ASOF_FWD_ORACLE,
         "roc_auc": _ROC_ORACLE,
         "infgain_equalfreq": _INFGAIN_ORACLE,
         "chi2_stat": _CHI2_ORACLE,
