@@ -15,8 +15,10 @@ Mann–Whitney rank sum → per-feature AUC. Ties use midranks:
 wins = Σ pos(v)·(cum_neg(<v) + neg(v)/2). The window partitions by feature
 over distinct values only (bounded), not raw rows.
 
-Multiclass: same histogram, finished by the numpy Hand–Till kernel on the
-collected per-feature histogram (tiny).
+Multiclass: Hand–Till = mean over class pairs of the pairwise AUC — each
+pair reuses the DISTRIBUTED binary path over the shared cached histogram
+(C(k,2) bounded passes; the driver only ever sees p-sized score rows, never
+a data-sized histogram).
 """
 
 from __future__ import annotations
@@ -25,19 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType, StringType
 
-from recipeselectors_spark.functions import stats
 from recipeselectors_spark.operators import _scoring
 from recipeselectors_spark.plans.step import SelectionStep
-
-
-def _auc_from_histogram(values: np.ndarray, w_pos: np.ndarray, w_neg: np.ndarray) -> float:
-    """Midrank AUC from a weighted value histogram (values ascending)."""
-    n1, n0 = w_pos.sum(), w_neg.sum()
-    if n1 == 0 or n0 == 0:
-        return float("nan")
-    cum_neg = np.concatenate(([0.0], np.cumsum(w_neg)[:-1]))
-    wins = (w_pos * (cum_neg + w_neg / 2.0)).sum()
-    return float(wins / (n1 * n0))
 
 
 class RocStep(SelectionStep):
@@ -86,7 +77,7 @@ class RocStep(SelectionStep):
         hist_rows = sum(r["rows"] for r in class_rows)
         if len(classes) == 2:
             return self._score_binary(hist3, x_names, classes, hist_rows)
-        return self._score_multiclass(hist3, x_names)
+        return self._score_multiclass(hist3, x_names, hist_rows)
 
     # Above this many distinct-value histogram rows, the cumulative scan
     # switches to the two-level (bucketed) form: a bare per-feature window
@@ -197,26 +188,36 @@ class RocStep(SelectionStep):
         )
 
     def _score_multiclass(
-        self, hist3: DataFrame, x_names: list[str]
+        self, hist3: DataFrame, x_names: list[str], hist_rows: int = 0
     ) -> dict[str, float]:
-        pdf = hist3.toPandas()
-        out: dict[str, float] = {c: float("nan") for c in x_names}
-        for feat, g in pdf.groupby("feature"):
-            tab = g.pivot_table(
-                index="x", columns="y", values="n", aggfunc="sum", fill_value=0
-            ).sort_index()
-            classes = list(tab.columns)
-            if len(classes) < 2:
-                continue
-            vals = tab.index.to_numpy(dtype=float)
-            aucs = []
+        """Hand–Till multiclass AUC = mean over unordered class pairs of the
+        pairwise AUC. Each pair runs through the DISTRIBUTED binary path
+        (filter the shared histogram to the two classes; the binary path
+        already applies direction='auto' per pair) — C(k, 2) bounded passes
+        over the cached compact histogram, never a driver-side pull of the
+        whole distinct-value histogram (a continuous feature's histogram is
+        data-sized at scale; only p-sized score rows reach the driver)."""
+        classes = sorted(r[0] for r in hist3.select("y").distinct().collect())
+        if len(classes) < 2:
+            return {c: float("nan") for c in x_names}
+        hist3 = hist3.cache()
+        sums: dict[str, list[float]] = {c: [] for c in x_names}
+        try:
             for i in range(len(classes)):
                 for j in range(i + 1, len(classes)):
-                    wp = tab[classes[i]].to_numpy(dtype=float)
-                    wn = tab[classes[j]].to_numpy(dtype=float)
-                    a = _auc_from_histogram(vals, wp, wn)
-                    if not np.isnan(a):
-                        aucs.append(max(a, 1 - a) if self.direction == "auto" else a)
-            if aucs:
-                out[str(feat)] = float(np.mean(aucs))
-        return out
+                    pair = hist3.where(
+                        F.col("y").isin([classes[i], classes[j]])
+                    )
+                    aucs = self._score_binary(
+                        pair, x_names, [classes[i], classes[j]], hist_rows
+                    )
+                    for c in x_names:
+                        a = aucs.get(c, float("nan"))
+                        if not np.isnan(a):
+                            sums[c].append(a)
+        finally:
+            hist3.unpersist()
+        return {
+            c: float(np.mean(v)) if v else float("nan")
+            for c, v in sums.items()
+        }
