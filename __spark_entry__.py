@@ -1011,6 +1011,43 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratios (Gopher-style quality filters):
+    1 - distinct/total for unigrams and word-2-grams."""
+    from recipeselectors_spark.functions import text as TX
+
+    docs = _documents(spark, sf_dir)
+    uni, bi = TX.repetition_ratios("text")
+    return docs.select(
+        "doc_id",
+        F.round(uni, ROUND).alias("rep_unigram"),
+        F.round(bi, ROUND).alias("rep_bigram"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN length(toks) >= 2 THEN
+               [array_to_string(toks[i:i+1], ' ')
+                FOR i IN generate_series(1, length(toks) - 1)]
+             ELSE toks END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(1.0 - length(list_distinct(toks))::DOUBLE
+                 / greatest(length(toks), 1), {ROUND}) AS rep_unigram,
+           ROUND(1.0 - length(list_distinct(bigrams))::DOUBLE
+                 / greatest(length(bigrams), 1), {ROUND}) AS rep_bigram
+    FROM g
+"""
+
+
 def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic sampling (operators/sampling.py): membership =
     pmod(xxhash64(str(key), salt), 1e6) < frac*1e6 — same sample on any
@@ -2090,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "dedup_clusters": q_dedup_clusters,
         "vip_tree": q_vip_tree,
+        "repetition": q_repetition,
         "det_sample": q_det_sample,
         "split_hash": q_split_hash,
         "decontaminate": q_decontaminate,
@@ -2375,6 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": _TOKEN_TOPK_ORACLE,
         "dedup_clusters": _dedup_clusters_oracle(),
         "vip_tree": _TREE_ORACLE,
+        "repetition": _REPETITION_ORACLE,
         "det_sample": _det_sample_oracle(),
         "split_hash": _split_hash_oracle(),
         "decontaminate": _decontaminate_oracle(),

@@ -103,6 +103,24 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
 
 
+def repetition_ratios(col: Column | str) -> tuple[Column, Column]:
+    """Within-document repetition signals (the Gopher-style quality
+    filters): (1 - distinct/total) for unigrams and word-2-grams — high
+    values flag boilerplate/looped generations. Pure Catalyst array ops."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    n = F.size(toks)
+    uni = 1.0 - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(toks)
+    bi = 1.0 - F.size(F.array_distinct(bigrams)) / F.greatest(
+        F.size(bigrams), F.lit(1)
+    )
+    return uni, bi
+
+
 # PII patterns: kept inside the Java-regex ∩ RE2 common subset (no
 # lookaround, no backrefs) so the DuckDB oracle can run the SAME patterns
 PII_PATTERNS = [
