@@ -800,6 +800,33 @@ def q_infgain_mdl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, infogain double")
 
 
+def q_infgain_mdl_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path of MDL discretization, driver-checked:
+    ``mdl_gate_distinct=0`` forces EVERY feature through the size-gated
+    pre-bucketing (percentile_approx boundaries + Bucketizer binary search +
+    bucket-min representatives, operators/_scoring.py:_prebucket_oversized)
+    so no kernel task ever holds a data-sized histogram. With the bin budget
+    above the distinct-value count every value keeps its own bucket and the
+    result is bit-identical to ``infgain_mdl`` — so this query shares that
+    query's full recursive-CTE MDLP oracle."""
+    from recipeselectors_spark.operators import InfGainStep
+
+    ev = _events(spark, sf_dir)
+    df = ev.select(
+        F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("props_len"),
+        F.when(F.floor(F.col("value") * 3) % 2 == 0, "pos")
+        .otherwise("neg")
+        .alias("y"),
+    )
+    fitted = InfGainStep(
+        "y", terms=["value", "props_len"], top_p=1,
+        mdl_gate_distinct=0, mdl_prebucket_bins=16384,
+    ).prep(df)
+    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    return spark.createDataFrame(rows, "feature string, infogain double")
+
+
 def q_mrmr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy mRMR over two equal-freq-binned features: score(first) =
     I(X;Y), score(second) = I(X;Y) − I(X; first). bins=4 keeps the DuckDB
@@ -2134,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "dedup_corpus": q_dedup_corpus,
         "infgain_mdl": q_infgain_mdl,
+        "infgain_mdl_gated": q_infgain_mdl_gated,
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
         "media_features": q_media_features,
@@ -2420,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_oracle(),
         "dedup_corpus": _dedup_corpus_oracle(),
         "infgain_mdl": _infgain_mdl_oracle(),
+        "infgain_mdl_gated": _infgain_mdl_oracle(),
         "carscore": _carscore_oracle(),
         "linear_coefs": _linear_coefs_oracle(),
         "media_features": _media_features_oracle(),

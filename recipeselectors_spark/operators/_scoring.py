@@ -73,6 +73,8 @@ def learn_numeric_cuts(
     bins: int = 10,
     sample_frac: float | None = None,
     seed: int = 42,
+    mdl_gate_distinct: int = 65536,
+    mdl_prebucket_bins: int = 4096,
 ) -> dict[str, list[float]]:
     """Learn per-feature cut points in one pass over the melted frame
     (small output: p rows of cut arrays).
@@ -87,7 +89,23 @@ def learn_numeric_cuts(
     the MDLP kernel over DISTINCT-VALUE-sized groups
     (discretize.mdl_cut_points_hist), never raw rows; ``sample_frac``
     additionally bounds distinct-value cardinality for continuous features
-    at extreme scale."""
+    at extreme scale.
+
+    Size gate (100 TB): a *continuous* feature has a data-sized
+    distinct-value set, so without a bound one kernel task would hold the
+    feature's whole histogram. Features whose approx distinct count exceeds
+    ``mdl_gate_distinct`` are pre-bucketed into at most
+    ``mdl_prebucket_bins`` candidate bins (boundaries from a distributed
+    ``percentile_approx`` sketch over the distinct-value set, assignment via
+    JVM binary search, representative value = the bucket's min) BEFORE the
+    MDLP kernel, so every kernel group is bounded by
+    ``mdl_prebucket_bins × classes`` cells. When every distinct value lands
+    in its own bucket (always true once distinct ≤ bins, the gate's whole
+    point) the result is bit-identical to the ungated path — pinned by
+    tests/test_discretize.py::test_mdl_gate_agrees via the gate=0 trick;
+    above the budget, cuts land on bucket-representative midpoints (a
+    documented approximation, same spirit as ``sample_frac``).
+    ``mdl_gate_distinct=None`` disables the gate."""
     melted = melt_numeric(df, x_names, outcome)
     if sample_frac is not None:
         melted = melted.sample(fraction=sample_frac, seed=seed)
@@ -120,6 +138,8 @@ def learn_numeric_cuts(
         .groupBy("feature", "x", "y")
         .agg(F.count("*").alias("n"))
     )
+    if mdl_gate_distinct is not None:
+        hist = _prebucket_oversized(hist, mdl_gate_distinct, mdl_prebucket_bins)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         feat = pdf["feature"].iloc[0]
@@ -140,6 +160,78 @@ def learn_numeric_cuts(
     # features with no non-null (x, y) rows still get an (empty) entry so
     # downstream binning keeps them (single-bin semantics)
     return {c: found.get(c, []) for c in x_names}
+
+
+def _prebucket_oversized(
+    hist: DataFrame, gate: int, n_bins: int
+) -> DataFrame:
+    """Bound every feature's (x, y) histogram to ≤ ``n_bins`` distinct values.
+
+    Features whose approx distinct-value count exceeds ``gate`` get their
+    values collapsed onto ``n_bins`` percentile buckets: boundaries come from
+    one distributed ``percentile_approx`` sketch over the feature's distinct
+    values (mergeable GK summary — bounded memory at any scale, and exact
+    while the value count stays under its accuracy), assignment is a JVM
+    binary search (``ml.feature.Bucketizer``), and each bucket is replaced by
+    its minimum actual value so that when distinct ≤ bins every value keeps
+    its own bucket and the output is bit-identical to the input. The two
+    driver actions (distinct counts, boundaries) reuse the histogram
+    shuffle (skipped stages), so the gate costs ~nothing when it never
+    fires."""
+    counts = (
+        hist.groupBy("feature")
+        .agg(F.approx_count_distinct("x").alias("d"))
+        .collect()
+    )
+    big = [r["feature"] for r in counts if r["d"] > gate]
+    if not big:
+        return hist
+    from pyspark.ml.feature import Bucketizer
+
+    accuracy = max(10000, 2 * n_bins)
+    qs = [j / n_bins for j in range(1, n_bins)]
+    bounds_rows = (
+        hist.where(F.col("feature").isin(big))
+        .select("feature", "x")
+        .distinct()
+        .groupBy("feature")
+        .agg(
+            F.percentile_approx(
+                "x", F.lit(qs).cast("array<double>"), F.lit(accuracy)
+            ).alias("bounds")
+        )
+        .collect()
+    )
+    splits = {
+        r["feature"]: sorted({float(b) for b in (r["bounds"] or []) if b is not None})
+        for r in bounds_rows
+    }
+    small = hist.where(~F.col("feature").isin(big))
+    parts = []
+    for feat in big:
+        sp = splits.get(feat) or []
+        part = hist.where(F.col("feature") == feat)
+        if not sp:
+            parts.append(part.withColumn("_bin", F.lit(0.0)))
+            continue
+        buck = Bucketizer(
+            splits=[float("-inf"), *sp, float("inf")],
+            inputCol="x",
+            outputCol="_bin",
+            handleInvalid="keep",  # NaN -> own bucket; pivot drops it, as ungated
+        )
+        parts.append(buck.transform(part))
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+    regrouped = bucketed.groupBy("feature", "_bin", "y").agg(
+        F.sum("n").alias("n")
+    )
+    reps = bucketed.groupBy("feature", "_bin").agg(F.min("x").alias("x"))
+    rebuilt = regrouped.join(reps, ["feature", "_bin"]).select(
+        "feature", "x", "y", "n"
+    )
+    return small.select("feature", "x", "y", "n").unionByName(rebuilt)
 
 
 def binned_joint_counts(

@@ -38,6 +38,8 @@ class InfGainStep(SelectionStep):
         equal: bool = False,  # True => equal-frequency bins instead of MDL
         bins: int = 10,
         sample_frac: float | None = None,
+        mdl_gate_distinct: int | None = 65536,
+        mdl_prebucket_bins: int = 4096,
         skip: bool = False,
     ) -> None:
         if mode not in ("infogain", "gainratio", "symuncert"):
@@ -47,6 +49,8 @@ class InfGainStep(SelectionStep):
         self.equal = equal
         self.bins = bins
         self.sample_frac = sample_frac
+        self.mdl_gate_distinct = mdl_gate_distinct
+        self.mdl_prebucket_bins = mdl_prebucket_bins
 
     def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
         num = _scoring.numeric_cols(df, x_names)
@@ -61,6 +65,8 @@ class InfGainStep(SelectionStep):
                 method="equal" if self.equal else "mdl",
                 bins=self.bins,
                 sample_frac=self.sample_frac,
+                mdl_gate_distinct=self.mdl_gate_distinct,
+                mdl_prebucket_bins=self.mdl_prebucket_bins,
             )
             joints.update(_scoring.binned_joint_counts(df, cuts, self.outcome))
         if nom:

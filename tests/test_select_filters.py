@@ -386,3 +386,37 @@ def test_custom_score_kernel_failure_gives_nan(cells):
 
     assert all(math.isnan(v) for v in fitted.scores.values())
     assert fitted.exclude == []  # NaN kept by select_percentile (misc.R:80)
+
+
+def test_mdl_gate_agrees_with_ungated(iris):
+    """Size-gated pre-bucketing (gate=0 forces every feature through the
+    Bucketizer path) must be bit-identical to the ungated kernel while each
+    distinct value still gets its own bucket — the threshold=0 trick, same
+    as test_two_level_roc."""
+    from recipeselectors_spark.operators import _scoring
+
+    pdf, df = iris
+    ungated = _scoring.learn_numeric_cuts(
+        df, fixtures.IRIS_X, "species", method="mdl", mdl_gate_distinct=None
+    )
+    gated = _scoring.learn_numeric_cuts(
+        df, fixtures.IRIS_X, "species", method="mdl",
+        mdl_gate_distinct=0, mdl_prebucket_bins=4096,
+    )
+    assert gated == ungated
+    assert any(len(v) > 0 for v in ungated.values())  # non-degenerate
+
+
+def test_mdl_gate_bounds_kernel_input(iris):
+    """Above the budget the kernel input is genuinely collapsed: with a tiny
+    bin budget the learned cuts land on representative-value midpoints and
+    every feature yields at most bins distinct candidate values."""
+    from recipeselectors_spark.operators import _scoring
+
+    pdf, df = iris
+    gated = _scoring.learn_numeric_cuts(
+        df, fixtures.IRIS_X, "species", method="mdl",
+        mdl_gate_distinct=0, mdl_prebucket_bins=4,
+    )
+    for feat, cuts in gated.items():
+        assert len(cuts) <= 4, feat
