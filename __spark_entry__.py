@@ -210,12 +210,23 @@ def _asof_inputs(spark: SparkSession, sf_dir: str):
 
 
 def q_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-window as-of join, plain AND tolerance-gated in one output:
+    ``click_value`` is the unbounded backward carry, ``click_value_tol``
+    nulls any carried feature older than 10 minutes (merge_asof tolerance
+    semantics, measured on the carried row's own ts). Both code paths of
+    asof_join_union run; the oracle computes both columns off one DuckDB
+    ASOF join."""
     from recipeselectors_spark.operators import asof
 
     spine, feats = _asof_inputs(spark, sf_dir)
-    out = asof.asof_join_union(spine, feats, ["click_value"], on="conv_id")
+    plain = asof.asof_join_union(spine, feats, ["click_value"], on="conv_id")
+    tol = asof.asof_join_union(
+        spine, feats, ["click_value"], on="conv_id", tolerance_s=600
+    ).withColumnRenamed("click_value", "click_value_tol")
+    out = plain.join(tol, ["conv_id", "ts", "purchase_id"])
     return out.select(
-        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
+        F.col("conv_id").alias("user_id"), "ts", "purchase_id",
+        "click_value", "click_value_tol",
     )
 
 
@@ -246,20 +257,21 @@ FROM spine s ASOF LEFT JOIN feats f
 """
 
 
-def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of with a 10-minute tolerance: a carried feature older
-    than the tolerance is nulled out, measured on the carried ROW's own ts
-    (merge_asof semantics). Oracle: DuckDB ASOF LEFT JOIN + age post-filter
-    (DuckDB ASOF has no native tolerance)."""
-    from recipeselectors_spark.operators import asof
-
-    spine, feats = _asof_inputs(spark, sf_dir)
-    out = asof.asof_join_union(
-        spine, feats, ["click_value"], on="conv_id", tolerance_s=600
-    )
-    return out.select(
-        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
-    )
+_ASOF_UNION_ORACLE = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+spine AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT s.user_id, s.ts, s.purchase_id, f.click_value,
+       CASE WHEN epoch(s.ts) - epoch(f.ts) <= 600 THEN f.click_value END
+         AS click_value_tol
+FROM spine s ASOF LEFT JOIN feats f
+  ON s.user_id = f.user_id AND s.ts >= f.ts
+"""
 
 
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +290,51 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of through the cogroup sorted-merge: min absolute ts
+    distance, ties prefer the backward row (pd.merge_asof semantics).
+    DuckDB has no nearest ASOF, so the oracle composes both directions and
+    picks the closer, tie -> backward."""
+    from recipeselectors_spark.operators import asof
+
+    spine, feats = _asof_inputs(spark, sf_dir)
+    out = asof.asof_join_cogroup(
+        spine, feats, ["click_value"], on="conv_id", num_shards=16,
+        direction="nearest",
+    )
+    return out.select(
+        F.col("conv_id").alias("user_id"), "ts", "purchase_id", "click_value"
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH feats AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+spine AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+b AS (
+  SELECT s.user_id, s.ts, s.purchase_id, f.ts AS bts, f.click_value AS bval
+  FROM spine s ASOF LEFT JOIN feats f
+    ON s.user_id = f.user_id AND s.ts >= f.ts
+),
+fw AS (
+  SELECT s.user_id, s.ts, f.ts AS fts, f.click_value AS fval
+  FROM spine s ASOF LEFT JOIN feats f
+    ON s.user_id = f.user_id AND s.ts <= f.ts
+)
+SELECT b.user_id, b.ts, b.purchase_id,
+       CASE WHEN b.bts IS NULL THEN fw.fval
+            WHEN fw.fts IS NULL THEN b.bval
+            WHEN (b.ts - b.bts) <= (fw.fts - fw.ts) THEN b.bval
+            ELSE fw.fval END AS click_value
+FROM b JOIN fw ON b.user_id = fw.user_id AND b.ts = fw.ts
+"""
+
+
 _ASOF_FWD_ORACLE = """
 WITH feats AS (
   SELECT user_id, ts, max(value) AS click_value
@@ -290,23 +347,6 @@ spine AS (
 SELECT s.user_id, s.ts, s.purchase_id, f.click_value
 FROM spine s ASOF LEFT JOIN feats f
   ON s.user_id = f.user_id AND s.ts <= f.ts
-"""
-
-
-_ASOF_TOL_ORACLE = """
-WITH feats AS (
-  SELECT user_id, ts, max(value) AS click_value
-  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
-),
-spine AS (
-  SELECT user_id, ts, max(event_id) AS purchase_id
-  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
-)
-SELECT s.user_id, s.ts, s.purchase_id,
-       CASE WHEN epoch(s.ts) - epoch(f.ts) <= 600 THEN f.click_value END
-         AS click_value
-FROM spine s ASOF LEFT JOIN feats f
-  ON s.user_id = f.user_id AND s.ts >= f.ts
 """
 
 
@@ -529,20 +569,36 @@ FROM full_cells GROUP BY feature ORDER BY feature
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, BOTH strategies in one output and cross-checked against
+    each other: the hash-groupBy aggregate (keep_doc_id = min doc_id,
+    n_copies) joined with the window keep-first operator
+    (dedup.drop_exact_duplicates -> kept_doc_id). The join key makes any
+    disagreement between the two plans a row-count mismatch."""
+    from recipeselectors_spark.operators import dedup as D
+
     docs = _documents(spark, sf_dir)
-    return (
+    agg = (
         docs.withColumn("text_hash", F.md5(F.col("text")))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
+    kept = D.drop_exact_duplicates(docs).select(
+        F.md5("text").alias("text_hash"), F.col("doc_id").alias("kept_doc_id")
+    )
+    return agg.join(kept, "text_hash")
 
 
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count, char count, and the regex BPE-ish
+    pre-tokenizer count (functions/text.py) in one pass — all JVM-side."""
+    from recipeselectors_spark.functions import text as TX
+
     docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars_computed"),
+        TX.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
     )
 
 
@@ -664,15 +720,6 @@ FROM events GROUP BY user_id
 # rows-only check; full oracles live in tests/ against pandas/numpy)
 # ---------------------------------------------------------------------------
 
-def q_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup keep-list: one representative (min doc_id) per text hash
-    via a single md5-partitioned window."""
-    from recipeselectors_spark.operators import dedup as D
-
-    out = D.drop_exact_duplicates(_documents(spark, sf_dir))
-    return out.select("doc_id", F.md5("text").alias("text_hash"))
-
-
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus dedup composition (exact-first, then MinHash near-dup on
     representatives, keep-first). Oracle-checked end-to-end: the DuckDB SQL
@@ -684,13 +731,20 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite document-quality heuristic (length/word-length/punctuation/
-    stopword bands), pure Catalyst."""
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality signals in one pure-Catalyst pass: the composite
+    quality heuristic (length/word-length/punctuation/stopword bands),
+    Gopher-style repetition ratios (1 - distinct/total for unigrams and
+    word-2-grams), and the stopword-vote language-ID."""
     from recipeselectors_spark.functions import text as TX
 
+    uni, bi = TX.repetition_ratios("text")
     return _documents(spark, sf_dir).select(
-        "doc_id", F.round(TX.quality_score("text"), ROUND).alias("quality")
+        "doc_id",
+        F.round(TX.quality_score("text"), ROUND).alias("quality"),
+        F.round(uni, ROUND).alias("rep_unigram"),
+        F.round(bi, ROUND).alias("rep_bigram"),
+        TX.langid_expr("text").alias("lang_pred"),
     )
 
 
@@ -840,37 +894,33 @@ def q_mrmr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_carscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CAR scores on lineitem: price vs quantity/discount/tax (lam='auto' ->
-    Schäfer-Strimmer; oracle replays moments, lambda, and the Newton-Schulz
-    R^{-1/2} in SQL)."""
+    """CAR scores on lineitem, BOTH modes in one output: ``carscore`` is the
+    full R_XX^{-1/2}·r_xy with lam='auto' (Schäfer-Strimmer; the oracle
+    replays moments, lambda, and the Newton-Schulz R^{-1/2} in a recursive
+    CTE) and ``carscore_diag`` is diagonal=TRUE
+    (step_select_carscore.R:151) — marginal |corr(x, y)|, exactly DuckDB
+    corr()."""
     from recipeselectors_spark.operators import CarScoreStep
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_quantity", "l_discount", "l_tax", "l_extendedprice"
     )
-    fitted = CarScoreStep(
+    full = CarScoreStep(
         "l_extendedprice", terms=["l_quantity", "l_discount", "l_tax"], top_p=2
     ).prep(li)
-    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
-    return spark.createDataFrame(rows, "feature string, carscore double")
-
-
-def q_carscore_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CAR scores with diagonal=TRUE (step_select_carscore.R:151): marginal
-    |corr(x, y)| — exactly DuckDB corr()."""
-    from recipeselectors_spark.operators import CarScoreStep
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
-    )
-    fitted = CarScoreStep(
+    diag = CarScoreStep(
         "l_extendedprice",
         terms=["l_quantity", "l_discount", "l_tax"],
         top_p=2,
         diagonal=True,
     ).prep(li)
-    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
-    return spark.createDataFrame(rows, "feature string, carscore double")
+    rows = [
+        (k, round(full.scores[k], ROUND), round(diag.scores[k], ROUND))
+        for k in sorted(full.scores)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, carscore double, carscore_diag double"
+    )
 
 
 def q_linear_reg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,12 +1002,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_scrub_oracle() -> str:
     from recipeselectors_spark.functions.text import PII_PATTERNS
 
-    counts = " + ".join(
-        f"length(regexp_extract_all(t, '{pat}'))" for _, pat in PII_PATTERNS
-    )
-    scrub = "t"
+    # count each pattern on the PROGRESSIVELY-scrubbed text, exactly as
+    # functions/text.py:pii_count does (sequential-substitution semantics)
+    count_terms, scrub = [], "t"
     for name, pat in PII_PATTERNS:
+        count_terms.append(f"length(regexp_extract_all({scrub}, '{pat}'))")
         scrub = f"regexp_replace({scrub}, '{pat}', '<{name}>', 'g')"
+    counts = " + ".join(count_terms)
     return f"""
         WITH aug AS (
           SELECT doc_id,
@@ -1036,20 +1087,6 @@ def _dedup_clusters_oracle() -> str:
         lab AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a)
         SELECT doc_id FROM lab WHERE doc_id = cluster
     """
-
-
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition ratios (Gopher-style quality filters):
-    1 - distinct/total for unigrams and word-2-grams."""
-    from recipeselectors_spark.functions import text as TX
-
-    docs = _documents(spark, sf_dir)
-    uni, bi = TX.repetition_ratios("text")
-    return docs.select(
-        "doc_id",
-        F.round(uni, ROUND).alias("rep_unigram"),
-        F.round(bi, ROUND).alias("rep_bigram"),
-    )
 
 
 _REPETITION_ORACLE = f"""
@@ -1319,20 +1356,54 @@ def q_vip_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "feature string, importance double")
 
 
+_BORUTA_BIAS = {"value": 1.0, "props_len": -0.5, "value_sq": 0.3}
+_BORUTA_MAX_RUNS = 16
+
+
 def q_boruta_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boruta all-relevant decisions (step_select_boruta.R:97-133,
-    Boruta:::TestFeatures semantics). Rows-only: per-run RF importances are
-    not SQL-expressible; decision stability is pinned by pytest on seeded
-    signal/noise frames."""
+    """Two-stage Boruta oracle (step_select_boruta.R:97-133). The DECISION
+    layer — per-run hit bookkeeping against max(shadow), the exact-binomial
+    tails Bonferroni-adjusted over ALL attributes (Boruta:::TestFeatures),
+    early stop, Tentative kept — is a pure function of the importance
+    stream, so this query drives BorutaStep.prep's real loop with a
+    deterministic md5 pseudo-importance (bias(name) + md5_u64/2^64) that
+    DuckDB replays bit-for-bit via md5_number_upper, and the oracle
+    recomputes hits, runs, and all three decisions (Confirmed / Rejected /
+    Tentative appear) with lgamma binomial tails in SQL. Only the RF
+    importance VALUES stay unpinned (MLlib ensemble RNG — covered rows-only
+    by forest_importance and by pytest decision-agreement tests on the real
+    RandomForest path)."""
+    import hashlib
+
+    import numpy as np
     from recipeselectors_spark.operators import BorutaStep
 
-    df = _feature_frame(spark, sf_dir)
-    fitted = BorutaStep(
-        "y", terms=["value", "props_len"], max_runs=9, trees=20, seed=42
+    class SqlReplayBoruta(BorutaStep):
+        def _fit_importances(self, df, all_feats, kind):
+            self._replay_run = getattr(self, "_replay_run", 0) + 1
+            out = []
+            for name in all_feats:
+                d = hashlib.md5(f"{name}:{self._replay_run}".encode()).digest()
+                u = int.from_bytes(d[:8], "little") / 2.0**64
+                out.append(_BORUTA_BIAS.get(name, 0.0) + u)
+            return np.array(out)
+
+    df = _feature_frame(spark, sf_dir).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    )
+    fitted = SqlReplayBoruta(
+        "y",
+        terms=["value", "props_len", "value_sq"],
+        max_runs=_BORUTA_MAX_RUNS,
+        seed=42,
     ).prep(df)
+    hits = fitted.extras["hits"]
     dec = fitted.extras["decision"]
-    rows = [(k, dec[k]) for k in sorted(dec)]
-    return spark.createDataFrame(rows, "feature string, decision string")
+    runs = fitted.params["runs"]
+    rows = [(k, hits[k], runs, dec[k]) for k in sorted(dec)]
+    return spark.createDataFrame(
+        rows, "feature string, hits bigint, runs bigint, decision string"
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,23 +1422,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipeselectors_spark.operators import dedup as D
 
     return D.with_simhash(_documents(spark, sf_dir)).select("doc_id", "simhash")
-
-
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from recipeselectors_spark.functions import text as TX
-
-    return _documents(spark, sf_dir).select(
-        "doc_id", TX.langid_expr("text").alias("lang_pred")
-    )
-
-
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex BPE-ish pre-tokenizer count (JVM regexp, no Python)."""
-    from recipeselectors_spark.functions import text as TX
-
-    return _documents(spark, sf_dir).select(
-        "doc_id", TX.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens")
-    )
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,6 +1681,79 @@ def _media_features_oracle() -> str:
                ROUND(rf1, {ROUND}) AS f1, ROUND(rf5, {ROUND}) AS f5
         FROM (VALUES {values})
              AS t(media_id, kind, n_bytes, decode_ok, rf1, rf5)
+    """
+
+
+def _boruta_decisions_oracle() -> str:
+    """Replays the ENTIRE Boruta decision loop in SQL: the md5
+    pseudo-importance stream (md5_number_upper = little-endian first 8 md5
+    bytes, exactly int.from_bytes(digest[:8], 'little')), per-run hits vs
+    max(shadow), the two one-sided exact-binomial tails computed
+    term-for-term as functions/stats.py:binom_cdf does
+    (exp(lgamma(n+1)-lgamma(x+1)-lgamma(n-x+1)+x·ln½+(n-x)·ln½), clamped),
+    Bonferroni over ALL attributes, first-trigger freezing, the early-stop
+    run count, and Tentative-kept for survivors."""
+    feats = ", ".join(
+        f"('{k}', {v!r}::DOUBLE)" for k, v in sorted(_BORUTA_BIAS.items())
+    )
+    mr = _BORUTA_MAX_RUNS
+    n_feats = len(_BORUTA_BIAS)
+    pmf = (
+        "exp(lgamma(r + 1.0::DOUBLE) - lgamma(x + 1.0::DOUBLE)"
+        " - lgamma(r - x + 1.0::DOUBLE)"
+        " + x * ln(0.5::DOUBLE) + (r - x) * ln(0.5::DOUBLE))"
+    )
+    return f"""
+        WITH feats(feature, bias) AS (VALUES {feats}),
+        runs AS (SELECT UNNEST(generate_series(1, {mr})) AS r),
+        imps AS (
+          SELECT f.feature, r.r,
+                 f.bias + md5_number_upper(f.feature || ':' ||
+                   CAST(r.r AS VARCHAR)) / 18446744073709551616.0 AS imp
+          FROM feats f, runs r),
+        shad AS (
+          SELECT r.r,
+                 MAX(md5_number_upper('__shadow_' || f.feature || ':' ||
+                   CAST(r.r AS VARCHAR)) / 18446744073709551616.0) AS smax
+          FROM feats f, runs r GROUP BY r.r),
+        cum AS (
+          SELECT i.feature, i.r,
+                 SUM(CASE WHEN i.imp > s.smax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY i.feature ORDER BY i.r) AS hits
+          FROM imps i JOIN shad s USING (r)),
+        tails AS (
+          SELECT feature, r, hits,
+            greatest(0.0::DOUBLE, 1.0 - least(1.0::DOUBLE, coalesce(
+              list_sum(list_transform(
+                generate_series(0, CAST(hits AS INTEGER) - 1),
+                x -> {pmf})), 0.0))) AS sf_conf,
+            least(1.0::DOUBLE, coalesce(
+              list_sum(list_transform(
+                generate_series(0, CAST(hits AS INTEGER)),
+                x -> {pmf})), 0.0)) AS cdf_rej
+          FROM cum),
+        verd AS (
+          SELECT feature, r, hits,
+            CASE WHEN sf_conf < (0.01::DOUBLE / {n_feats}) THEN 'Confirmed'
+                 WHEN cdf_rej < (0.01::DOUBLE / {n_feats}) THEN 'Rejected'
+            END AS verdict
+          FROM tails),
+        firstdec AS (
+          SELECT feature, MIN(r) AS dr FROM verd
+          WHERE verdict IS NOT NULL GROUP BY feature),
+        rstar AS (
+          SELECT LEAST({mr}, MAX(COALESCE(fd.dr, {mr} + 1))) AS rs
+          FROM feats f LEFT JOIN firstdec fd USING (feature))
+        SELECT f.feature,
+               CAST(c.hits AS BIGINT) AS hits,
+               CAST(rs.rs AS BIGINT) AS runs,
+               COALESCE(CASE WHEN fd.dr <= rs.rs THEN v.verdict END,
+                        'Tentative') AS decision
+        FROM feats f
+        CROSS JOIN rstar rs
+        JOIN cum c ON c.feature = f.feature AND c.r = rs.rs
+        LEFT JOIN firstdec fd ON fd.feature = f.feature
+        LEFT JOIN verd v ON v.feature = f.feature AND v.r = fd.dr
     """
 
 
@@ -2126,26 +2253,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "asof_union": q_asof_union,
         "asof_cogroup": q_asof_cogroup,
-        "asof_tolerance": q_asof_tolerance,
         "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "roc_auc": q_roc_auc,
         "infgain_equalfreq": q_infgain_equalfreq,
         "chi2_stat": q_chi2_stat,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
+        "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "cosine_topk": q_cosine_topk,
         "mrmr_scores": q_mrmr_scores,
-        "carscore_diag": q_carscore_diag,
         "linear_reg_coefs": q_linear_reg_coefs,
         "assemble_features": q_assemble_features,
-        "langid": q_langid,
         "lsh_ann": q_lsh_ann,
         "embedding_dedup": q_embedding_dedup,
-        "bpe_token_count": q_bpe_token_count,
-        "quality_score": q_quality_score,
+        "doc_quality": q_doc_quality,
         "ngram_jaccard": q_ngram_jaccard,
-        "dedup_drop": q_dedup_drop,
         "ivf_ann": q_ivf_ann,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
@@ -2154,7 +2277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "dedup_clusters": q_dedup_clusters,
         "vip_tree": q_vip_tree,
-        "repetition": q_repetition,
         "det_sample": q_det_sample,
         "split_hash": q_split_hash,
         "decontaminate": q_decontaminate,
@@ -2267,21 +2389,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semi_join": _SEMI_ORACLE,
         "json_extract": _JSON_ORACLE,
-        "asof_union": _ASOF_ORACLE,
+        "asof_union": _ASOF_UNION_ORACLE,
         "asof_cogroup": _ASOF_ORACLE,
-        "asof_tolerance": _ASOF_TOL_ORACLE,
         "asof_forward": _ASOF_FWD_ORACLE,
+        "asof_nearest": _ASOF_NEAREST_ORACLE,
         "roc_auc": _ROC_ORACLE,
         "infgain_equalfreq": _INFGAIN_ORACLE,
         "chi2_stat": _CHI2_ORACLE,
         "dedup_exact": """
-            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
-                   COUNT(*) AS n_copies
-            FROM documents GROUP BY md5(text)
+            WITH agg AS (
+              SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+                     COUNT(*) AS n_copies
+              FROM documents GROUP BY md5(text)
+            ),
+            kept AS (
+              SELECT md5(text) AS text_hash, doc_id AS kept_doc_id
+              FROM documents
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) = 1
+            )
+            SELECT text_hash, keep_doc_id, n_copies, kept_doc_id
+            FROM agg JOIN kept USING (text_hash)
         """,
-        "token_count": """
+        "token_counts": r"""
             SELECT doc_id, length(string_split(text, ' ')) AS n_tokens,
-                   length(text) AS n_chars_computed
+                   length(text) AS n_chars_computed,
+                   length(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
             FROM documents
         """,
         "text_quality": f"""
@@ -2297,12 +2431,6 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "cosine_topk": _COSINE_ORACLE,
-        "bpe_token_count": r"""
-            SELECT doc_id,
-                   length(regexp_extract_all(text,
-                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
-            FROM documents
-        """,
         "mrmr_scores": _MRMR_ORACLE,
         "assemble_features": f"""
             -- events -> transcript mapping (events_as_transcripts) followed
@@ -2363,25 +2491,7 @@ def oracle_sql() -> dict[str, str]:
                    role
             FROM h
         """,
-        "carscore_diag": f"""
-            SELECT 'l_discount' AS feature,
-                   ROUND(ABS(corr(l_discount, l_extendedprice)), {ROUND}) AS carscore
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_quantity', ROUND(ABS(corr(l_quantity, l_extendedprice)), {ROUND})
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_tax', ROUND(ABS(corr(l_tax, l_extendedprice)), {ROUND})
-            FROM lineitem
-            ORDER BY feature
-        """,
-        "dedup_drop": """
-            SELECT doc_id, md5(text) AS text_hash
-            FROM documents
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
-                                       ORDER BY doc_id) = 1
-        """,
-        "quality_score": f"""
+        "doc_quality": f"""
             WITH t AS (
               SELECT doc_id, text,
                      regexp_split_to_array(trim(text), '\\s+') AS toks,
@@ -2399,7 +2509,8 @@ def oracle_sql() -> dict[str, str]:
                        t))) AS stop_hits
               FROM t
             )
-            SELECT doc_id, ROUND(
+            SELECT doc_id, rr.rep_unigram, rr.rep_bigram, lg.lang_pred,
+              ROUND(
               (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
                 * 0.25
               + (CASE WHEN n_chars / greatest(n_tok, 1) >= 2
@@ -2411,6 +2522,8 @@ def oracle_sql() -> dict[str, str]:
                   THEN 1.0 ELSE 0.0 END) * 0.25,
               {ROUND}) AS quality
             FROM m
+            JOIN ({_REPETITION_ORACLE}) rr USING (doc_id)
+            JOIN ({_langid_oracle()}) lg USING (doc_id)
         """,
         "ngram_jaccard": f"""
             WITH sh AS (
@@ -2430,7 +2543,6 @@ def oracle_sql() -> dict[str, str]:
                      / length(list_distinct(a.s || b.s)), {ROUND}) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         """,
-        "langid": _langid_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "lsh_ann": _lsh_ann_oracle(),
         "ivf_ann": _ivf_ann_oracle(),
@@ -2441,7 +2553,6 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": _TOKEN_TOPK_ORACLE,
         "dedup_clusters": _dedup_clusters_oracle(),
         "vip_tree": _TREE_ORACLE,
-        "repetition": _REPETITION_ORACLE,
         "det_sample": _det_sample_oracle(),
         "split_hash": _split_hash_oracle(),
         "decontaminate": _decontaminate_oracle(),
@@ -2449,9 +2560,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": _dedup_corpus_oracle(),
         "infgain_mdl": _infgain_mdl_oracle(),
         "infgain_mdl_gated": _infgain_mdl_oracle(),
-        "carscore": _carscore_oracle(),
+        "carscore": f"""
+            SELECT fm.feature, fm.carscore, dg.carscore_diag
+            FROM ({_carscore_oracle()}) fm
+            JOIN (
+              SELECT 'l_discount' AS feature,
+                     ROUND(ABS(corr(l_discount, l_extendedprice)), {ROUND})
+                       AS carscore_diag
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity',
+                     ROUND(ABS(corr(l_quantity, l_extendedprice)), {ROUND})
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax',
+                     ROUND(ABS(corr(l_tax, l_extendedprice)), {ROUND})
+              FROM lineitem
+            ) dg USING (feature)
+            ORDER BY fm.feature
+        """,
         "linear_coefs": _linear_coefs_oracle(),
         "media_features": _media_features_oracle(),
+        "boruta_decisions": _boruta_decisions_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

@@ -39,7 +39,7 @@ HEADLINE = [
     "infgain_equalfreq",
     "chi2_stat",
     "dedup_exact",
-    "token_count",
+    "token_counts",
     "text_quality",
     "cosine_topk",
 ]

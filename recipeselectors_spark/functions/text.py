@@ -141,11 +141,16 @@ def scrub_pii(col: Column | str) -> Column:
 
 
 def pii_count(col: Column | str) -> Column:
-    """How many PII spans the scrub would redact (for filtering/reporting)."""
+    """How many PII spans :func:`scrub_pii` actually redacts. Each pattern
+    is counted on the text as already scrubbed by the PRIOR patterns —
+    exactly mirroring the sequential regexp_replace chain — so the count
+    equals the number of placeholders inserted even when an earlier
+    replacement destroys (or creates) a later-pattern match (ADVICE r3)."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.lit(0)
-    for _, pat in PII_PATTERNS:
+    for name, pat in PII_PATTERNS:
         n = n + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, f"<{name}>")
     return n
 
 

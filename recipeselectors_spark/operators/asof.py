@@ -27,6 +27,8 @@ and affects balance only, never shard membership.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -114,6 +116,7 @@ def hot_conv_shards(
     sample_frac: float | None = None,
     seed: int = 42,
     skew_factor: float = 2.0,
+    max_conv_rows: int | None = 5_000_000,
 ) -> pd.DataFrame:
     """Detect HOT conversations and give each a dedicated shard id.
 
@@ -129,6 +132,20 @@ def hot_conv_shards(
     ``sample_frac`` bounds the counting cost at extreme scale; it affects
     only which convs are *detected* as hot (balance), never shard membership
     — unsampled conversations simply keep their hash shard.
+
+    ``max_conv_rows`` is the oversized-conversation guard (VERDICT r3): a
+    hot conversation gets a dedicated shard but still lands in ONE Arrow
+    group in the cogroup merge — whole-conversation locality is the design
+    (SURVEY §4: split conversations never, pad shards instead), so a single
+    conversation larger than executor memory cannot be handled silently.
+    When the largest (estimated, if sampled) per-conv row count exceeds
+    this budget a RuntimeWarning names the worst offender and the
+    mitigations (spine-side time-range pre-split for backward+tolerance
+    joins — slice BOTH sides on ts ranges no finer than the tolerance, join
+    slices independently, union; or raise executor memory / Arrow batch
+    budget). The observed maximum is also returned on the frame as
+    ``result.attrs['max_conv_rows']`` for metrics pipelines. ``None``
+    disables the check.
     """
     l = left.select(on) if sample_frac is None else left.select(on).sample(
         fraction=sample_frac, seed=seed
@@ -139,7 +156,20 @@ def hot_conv_shards(
     counts = l.unionByName(r).groupBy(on).agg(F.count("*").alias("n"))
     # two actions on the SAME counts lineage: the second job reuses the
     # groupBy exchange as a skipped stage, so the inputs are scanned once
-    total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    tot_row = counts.agg(F.sum("n"), F.max("n")).collect()[0]
+    total, max_n = tot_row[0] or 0, tot_row[1] or 0
+    scale = 1.0 / sample_frac if sample_frac else 1.0
+    if max_conv_rows is not None and max_n * scale > max_conv_rows:
+        worst = counts.orderBy(F.col("n").desc()).limit(1).collect()[0]
+        warnings.warn(
+            f"conversation {worst[on]!r} has ~{int(worst['n'] * scale):,} "
+            f"rows (> max_conv_rows={max_conv_rows:,}); it will occupy ONE "
+            "Arrow group in the cogroup as-of merge. Pre-split both sides "
+            "on ts ranges no finer than the join tolerance, or raise the "
+            "executor/Arrow memory budget.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     cap = skew_factor * total / max(num_shards, 1)
     hot = (
         counts.where(F.col("n") > F.lit(float(cap)))
@@ -147,9 +177,11 @@ def hot_conv_shards(
         .limit(4 * num_shards)
         .toPandas()
     )
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {on: hot[on].tolist(), "shard": [num_shards + i for i in range(len(hot))]}
     )
+    out.attrs["max_conv_rows"] = int(max_n * scale)
+    return out
 
 
 def with_shard(
@@ -265,11 +297,19 @@ def salted_equi_join(
     salt: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi join: salt the big side with pmod(hash(row), S),
-    explode the small side 0..S-1 (SURVEY.md §2.4). For genuinely small dims
-    prefer ``big.join(F.broadcast(small), on)`` — Catalyst broadcasts free."""
+    """Skew-resistant equi join: salt the big side with
+    ``pmod(xxhash64(<all big columns>), S)``, explode the small side 0..S-1
+    (SURVEY.md §2.4). The salt is a pure function of the ROW CONTENT, so it
+    is stable across retries, recomputations, and scan order — unlike the
+    previous ``hash(monotonically_increasing_id())`` form, whose salt
+    depended on partition layout (correct under retries but
+    non-deterministic for lineage; ADVICE r2). Identical rows spread only
+    as far as their duplicate count, which is exactly the skew a
+    content-hash can address. For genuinely small dims prefer
+    ``big.join(F.broadcast(small), on)`` — Catalyst broadcasts free."""
     b = big.withColumn(
-        "__salt__", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+        "__salt__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),
     )
     s = small.withColumn(
         "__salt__", F.explode(F.array([F.lit(i) for i in range(salt)]))

@@ -19,6 +19,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -392,6 +394,7 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         prop = (
             sym.join(lab, sym.src == lab.v)
@@ -414,6 +417,16 @@ def connected_components(
         lab = new_lab.drop("__chg__")
         if changed == 0:
             break
+    if changed != 0:
+        # a component chain longer than max_iter hops would otherwise split
+        # into multiple silent "representatives" (ADVICE r3)
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels may still split one true component. Raise max_iter (or "
+            "switch to large-star/small-star) for deep chain components.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return lab.select(F.col("v").alias(id_col), F.col("label").alias("cluster"))
 
 

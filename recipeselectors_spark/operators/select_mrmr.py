@@ -146,7 +146,13 @@ class MrmrStep(SelectionStep):
             tab = g.pivot_table(
                 index="va", columns="vb", values="n", aggfunc="sum", fill_value=0
             ).to_numpy(dtype=float)
+            # store BOTH orientations: mi_between(candidate, selected) must
+            # sum the table with the CANDIDATE on the rows, exactly as
+            # _mi_against does, so the two paths agree to the last ulp even
+            # though MI is mathematically symmetric (float summation order
+            # differs under transpose — ADVICE r3)
             out[(x_names[int(i)], x_names[int(j)])] = stats.mutual_information(tab)
+            out[(x_names[int(j)], x_names[int(i)])] = stats.mutual_information(tab.T)
         return out
 
     def _greedy(self, codes: DataFrame, x_names: list[str]) -> dict[str, float]:
@@ -160,7 +166,8 @@ class MrmrStep(SelectionStep):
         )
 
         def mi_between(a: str, b: str) -> float:
-            return pair_mi.get((a, b), pair_mi.get((b, a), 0.0))
+            # (a, b) is always present: _pairwise_mi stores both orientations
+            return pair_mi.get((a, b), 0.0)
 
         selected: list[str] = []
         scores: dict[str, float] = {}

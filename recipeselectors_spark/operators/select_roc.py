@@ -77,7 +77,7 @@ class RocStep(SelectionStep):
         hist_rows = sum(r["rows"] for r in class_rows)
         if len(classes) == 2:
             return self._score_binary(hist3, x_names, classes, hist_rows)
-        return self._score_multiclass(hist3, x_names, hist_rows)
+        return self._score_multiclass(hist3, x_names, classes, hist_rows)
 
     # Above this many distinct-value histogram rows, the cumulative scan
     # switches to the two-level (bucketed) form: a bare per-feature window
@@ -150,7 +150,11 @@ class RocStep(SelectionStep):
         in doubles, so the regrouped sums are bit-identical to the
         single-window form (pinned by test)."""
         spark = hist.sparkSession
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # clamp: shuffle.partitions=1 would make qs empty and feed
+        # percentile_approx a zero-length percentage array (ADVICE r3)
+        n_buckets = max(
+            2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
         qs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = hist.groupBy("feature").agg(
             F.percentile_approx("x", qs, 1_000).alias("__bs__")
@@ -188,7 +192,11 @@ class RocStep(SelectionStep):
         )
 
     def _score_multiclass(
-        self, hist3: DataFrame, x_names: list[str], hist_rows: int = 0
+        self,
+        hist3: DataFrame,
+        x_names: list[str],
+        classes: list[str],
+        hist_rows: int = 0,
     ) -> dict[str, float]:
         """Hand–Till multiclass AUC = mean over unordered class pairs of the
         pairwise AUC. Each pair runs through the DISTRIBUTED binary path
@@ -196,8 +204,9 @@ class RocStep(SelectionStep):
         already applies direction='auto' per pair) — C(k, 2) bounded passes
         over the cached compact histogram, never a driver-side pull of the
         whole distinct-value histogram (a continuous feature's histogram is
-        data-sized at scale; only p-sized score rows reach the driver)."""
-        classes = sorted(r[0] for r in hist3.select("y").distinct().collect())
+        data-sized at scale; only p-sized score rows reach the driver).
+        ``classes`` comes from score()'s class_rows read — no extra
+        distinct() job (ADVICE r3)."""
         if len(classes) < 2:
             return {c: float("nan") for c in x_names}
         hist3 = hist3.cache()

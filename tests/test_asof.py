@@ -149,6 +149,39 @@ def test_salted_equi_join(spark, frames):
     assert got == len(features)
 
 
+def test_salted_equi_join_deterministic(spark, frames):
+    """The salt is a pure function of row content: re-evaluations and
+    different physical layouts of the same data give the same rows AND
+    spread a hot key across salts (the content hash varies within a key)."""
+    from pyspark.sql import functions as F
+
+    spine, features = frames
+    f = spark.createDataFrame(features)
+    dim = spark.createDataFrame(
+        pd.DataFrame({"conv_id": spine["conv_id"].unique(), "grp": 1})
+    )
+    a = asof.salted_equi_join(f, dim, salt=4).toPandas()
+    b = asof.salted_equi_join(f.repartition(13), dim, salt=4).toPandas()
+    key = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
+    # hot-key spread: the busiest conv_id's rows land on >1 salt value
+    hot = features["conv_id"].value_counts().idxmax()
+    salts = (
+        f.where(F.col("conv_id") == hot)
+        .select(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in f.columns]), F.lit(4)
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+
+
 def test_asof_empty_features(spark, frames):
     """No feature rows at all: every spine row survives with NULL values."""
     spine, features = frames
@@ -238,3 +271,41 @@ def test_cogroup_direction_variants(spark, frames, direction):
     ).toPandas()
     want = oracles.asof_join(spine, features, ["v1", "v2"], direction=direction)
     _check(got, want)
+
+
+def test_oversized_conversation_warns(spark):
+    """A conversation bigger than the Arrow-group budget triggers the
+    max_conv_rows guard (actionable warning + metric) while the join result
+    stays correct — whole-conversation locality is by design (SURVEY §4),
+    so the guard is the visibility mechanism, not a row splitter."""
+    import warnings as W
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 500
+    spine = pd.DataFrame({
+        "conv_id": ["giant"] * n + ["tiny"],
+        "ts": pd.to_datetime(list(range(1, n + 1)) + [5], unit="s"),
+    })
+    feats = pd.DataFrame({
+        "conv_id": ["giant", "tiny"],
+        "ts": pd.to_datetime([0, 0], unit="s"),
+        "v": [1.0, 2.0],
+    })
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(feats)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        hot = asof.hot_conv_shards(s, f, num_shards=4, max_conv_rows=100)
+    assert any("max_conv_rows" in str(r.message) for r in rec)
+    assert hot.attrs["max_conv_rows"] >= n
+    # and the join itself still produces every spine row
+    out = asof.asof_join_cogroup(
+        s, f, ["v"], num_shards=4, hot_pdf=hot
+    )
+    assert out.count() == n + 1
+    # quiet when the budget is honored
+    with W.catch_warnings(record=True) as rec2:
+        W.simplefilter("always")
+        asof.hot_conv_shards(s, f, num_shards=4, max_conv_rows=10_000)
+    assert not any("max_conv_rows" in str(r.message) for r in rec2)
