@@ -110,6 +110,33 @@ def run_bench() -> None:
         fn(spark, SF_DIR).count()
         extra[name] = round(time.time() - t0, 3)
 
+    # iterative REAL-model paths (the driver contract covers their decision
+    # layers; these track the RF fit loops themselves so the permutation /
+    # Boruta cost at sf0.1 has a number before a cluster ever sees it)
+    from pyspark.sql import functions as F
+
+    from recipeselectors_spark.operators import BorutaStep, ForestsStep
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    feat = ev.select(
+        F.col("value").cast("double").alias("value"),
+        F.length("props").cast("double").alias("props_len"),
+        F.when(F.col("event_type") == "purchase", "pos")
+        .otherwise("neg")
+        .alias("y"),
+    )
+    t0 = time.time()
+    ForestsStep(
+        "y", terms=["value", "props_len"], top_p=1,
+        importance="permutation", trees=20, max_depth=5,
+    ).prep(feat)
+    extra["forests_permutation"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    BorutaStep(
+        "y", terms=["value", "props_len"], max_runs=8, trees=20, max_depth=5
+    ).prep(feat)
+    extra["boruta_8runs"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {

@@ -320,7 +320,8 @@ def decontaminate(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     min_overlap: int = 2,
-    broadcast_benchmark: bool = True,
+    broadcast_benchmark: bool | None = None,
+    broadcast_max_shingles: int = 50_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing >=
     ``min_overlap`` word-``k_shingle``s with ANY benchmark text — the
@@ -332,6 +333,12 @@ def decontaminate(
     exploded docs side joins against the (broadcastable) benchmark shingle
     set and aggregates matches per doc. Returns docs + ``n_contaminated``
     + ``contaminated`` flag; filter on it to drop.
+
+    ``broadcast_benchmark=None`` (default) picks the join strategy
+    automatically: one cheap ``approx_count_distinct`` over the benchmark
+    shingles (an order-of-magnitude call, not a size estimate) chooses
+    broadcast below ``broadcast_max_shingles`` (50M hashes ≈ 400 MB) and
+    the shuffle join above it. Pass True/False to override.
     """
     bench_sh = (
         benchmark.select(
@@ -339,9 +346,17 @@ def decontaminate(
         )
         .distinct()
     )
-    # a typical benchmark set broadcasts (1e6 docs ≈ 1e8 shingle hashes =
-    # ~1 GB); set broadcast_benchmark=False for giant benchmark corpora to
-    # fall back to a shuffle join
+    if broadcast_benchmark is None:
+        # the probe runs on the pre-distinct explode (approx_count_distinct
+        # needs no dedup shuffle) — one map-side-sketch job
+        est = (
+            benchmark.select(
+                F.explode(TX.shingles(text_col, k=k_shingle)).alias("__sh__")
+            )
+            .agg(F.approx_count_distinct("__sh__").alias("d"))
+            .collect()[0]["d"]
+        )
+        broadcast_benchmark = est <= broadcast_max_shingles
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     # shingles() is array_distinct per doc, so (id, shingle) pairs are

@@ -16,7 +16,7 @@ bucketing (``bucketBy``); on Iceberg the same layout is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(
@@ -47,3 +47,48 @@ def plan_has_exchange(df: DataFrame) -> bool:
     """Inspect the physical plan for shuffle exchanges (test/diagnostic)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" in plan
+
+
+def write_day_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    day_col: str = "ds",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` partitioned by calendar day of ``ts_col`` — the
+    parquet analogue of Iceberg's ``days(ts)`` transform partition spec
+    (SURVEY.md §2.4). A time-range filter on ``day_col`` then prunes whole
+    partitions at planning time (PartitionFilters in the scan node, pinned
+    by tests/test_bucketed.py::test_day_partition_pruning), so an
+    incremental job touching one day of a 10^12-turn table reads one day's
+    files. On Iceberg the engine derives the day from ``ts`` predicates
+    automatically; on plain parquet the reader filters ``day_col``
+    explicitly — :func:`read_day_partitioned` adds it from a ts range."""
+    out = df.withColumn(day_col, F.to_date(F.col(ts_col)))
+    out.write.mode(mode).partitionBy(day_col).parquet(path)
+
+
+def read_day_partitioned(
+    spark: SparkSession,
+    path: str,
+    ts_from=None,
+    ts_to=None,
+    ts_col: str = "ts",
+    day_col: str = "ds",
+) -> DataFrame:
+    """Read a day-partitioned table with BOTH the row-level ts filter and
+    the partition-level day filter derived from it — the day predicate is
+    what Catalyst turns into partition pruning."""
+    df = spark.read.parquet(path)
+    if ts_from is not None:
+        df = df.where(
+            (F.col(ts_col) >= F.lit(ts_from))
+            & (F.col(day_col) >= F.to_date(F.lit(ts_from)))
+        )
+    if ts_to is not None:
+        df = df.where(
+            (F.col(ts_col) < F.lit(ts_to))
+            & (F.col(day_col) <= F.to_date(F.lit(ts_to)))
+        )
+    return df

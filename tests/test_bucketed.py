@@ -61,3 +61,38 @@ def test_bucketed_roundtrip_values(spark, bucketed_table):
     a = tbl.agg(F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))).collect()[0][0]
     b = orig.agg(F.sum(F.xxhash64("conv_id", "turn_idx", "text").cast("decimal(38,0)"))).collect()[0][0]
     assert a == b
+
+
+def test_day_partition_pruning(spark, tmp_path):
+    """The days(ts) partition layout prunes at PLAN time: a one-day ts-range
+    read of a 10-day table scans one partition directory — the parquet
+    demonstration of the Iceberg `days(ts)` spec claimed in the module
+    docstring (VERDICT r3 #5)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    base = dt.datetime(2026, 3, 1)
+    for d in range(10):
+        for i in range(20):
+            rows.append((f"conv-{d}-{i}", base + dt.timedelta(days=d, minutes=i), float(i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "v"])
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "daytbl")
+    bucketed.write_day_partitioned(df, path)
+
+    got = bucketed.read_day_partitioned(
+        spark, path,
+        ts_from=dt.datetime(2026, 3, 4),
+        ts_to=dt.datetime(2026, 3, 5),
+    )
+    assert got.count() == 20
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the scan node must carry partition filters on ds...
+    assert "PartitionFilters: [" in plan
+    assert "ds" in plan.split("PartitionFilters:")[1][:200]
+    # ...and actually select 1 of the 10 partitions at planning time
+    files_read = got.select(F.input_file_name()).distinct().collect()
+    days = {r[0].split("ds=")[1].split("/")[0] for r in files_read}
+    assert days == {"2026-03-04"}

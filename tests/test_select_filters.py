@@ -420,3 +420,28 @@ def test_mdl_gate_bounds_kernel_input(iris):
     )
     for feat, cuts in gated.items():
         assert len(cuts) <= 4, feat
+
+
+def test_nominal_guard_rejects_id_like_column(spark):
+    """An ID-like nominal predictor fails fast with an actionable error
+    instead of collecting a data-sized contingency table to the driver."""
+    from pyspark.sql import functions as F
+    from recipeselectors_spark.operators import _scoring
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("doc_key"),
+        (F.col("id") % 2).cast("string").alias("y"),
+    )
+    with pytest.raises(ValueError, match="max_cells_per_feature"):
+        _scoring.nominal_contingency(
+            df, ["doc_key"], "y", max_cells_per_feature=1000
+        )
+    # genuine factors pass untouched
+    df2 = spark.range(5000).select(
+        (F.col("id") % 5).cast("string").alias("lvl"),
+        (F.col("id") % 2).cast("string").alias("y"),
+    )
+    pdf = _scoring.nominal_contingency(
+        df2, ["lvl"], "y", max_cells_per_feature=1000
+    )
+    assert set(pdf["feature"]) == {"lvl"}

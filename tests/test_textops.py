@@ -633,3 +633,31 @@ def test_decontaminate_flags_overlap(spark):
     assert bool(out.loc[2, "contaminated"])   # shares 'brown fox jumps over' span
     assert not bool(out.loc[3, "contaminated"])
     assert out.loc[3, "n_contaminated"] == 0
+
+
+def test_decontaminate_auto_fallback_routes(spark):
+    """Auto strategy: tiny benchmark -> broadcast hash join; over-budget ->
+    shuffle (sort-merge) join. Both plans, identical answers."""
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about gardens and rivers today"),
+        ],
+        "doc_id long, text string",
+    )
+    auto_b = dedup.decontaminate(docs, bench, min_overlap=2)
+    forced_s = dedup.decontaminate(
+        docs, bench, min_overlap=2, broadcast_max_shingles=1
+    )
+    plan_b = auto_b._jdf.queryExecution().executedPlan().toString()
+    plan_s = forced_s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    # with the budget at 1 shingle the auto probe must pick the shuffle join
+    assert ("SortMergeJoin" in plan_s) or ("ShuffledHashJoin" in plan_s)
+    a = auto_b.toPandas().set_index("doc_id").sort_index()
+    b = forced_s.toPandas().set_index("doc_id").sort_index()
+    assert (a["n_contaminated"] == b["n_contaminated"]).all()
+    assert (a["contaminated"] == b["contaminated"]).all()
