@@ -964,14 +964,245 @@ def q_linear_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_forest_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation importance through the REAL RandomForestRegressor, fully
+    oracle-checked (step_select_forests.R:73-74 — ranger's
+    importance='permutation' default). Two deterministic choices remove
+    every RNG stream while keeping the production code path:
+
+    * trees=1 + bootstrap=False + mtry=p (ranger: num.trees/replace/mtry)
+      + max_bins >= #distinct — the fit is then the exact variance-gain
+      argmax stump (same pinned MLlib midpoint-split semantics as
+      tree_importance), replayable in SQL;
+    * permute='rotation' — a content-deterministic cyclic rotation in
+      md5(seed|l_orderkey|l_linenumber) order within 4096 hash buckets
+      (operators/_permute.py:rotate_columns): a true permutation,
+      layout-invariant across cluster sizes, replayed with the SAME md5 +
+      window functions in DuckDB.
+
+    Output = (MSE_permuted - MSE_base)/MSE_base per feature — the
+    scale-free relative metric drop (raw deltas are ~1e5 on a ~1e9 MSE;
+    the ratio keeps the oracle comparison in a float-stable range)."""
     from recipeselectors_spark.operators import ForestsStep
 
-    df = _feature_frame(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
     fitted = ForestsStep(
-        "y", terms=["value", "props_len"], top_p=1, trees=20, seed=42
-    ).prep(df)
-    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
-    return spark.createDataFrame(rows, "feature string, importance double")
+        "l_extendedprice",
+        terms=["l_quantity", "l_discount"],
+        top_p=1,
+        trees=1,
+        mtry=2,
+        bootstrap=False,
+        max_depth=1,
+        max_bins=1000,
+        importance="permutation",
+        permute="rotation",
+        permute_ids=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        seed=42,
+    ).prep(li)
+    base = abs(fitted.extras["baseline_metric"])
+    # + 0.0 folds IEEE -0.0 (a rounded tiny-negative noise delta) to +0.0
+    # so the value hash can't diverge from the oracle's sign of zero
+    rows = [
+        (k, round(v / base, 9) + 0.0) for k, v in sorted(fitted.scores.items())
+    ]
+    return spark.createDataFrame(rows, "feature string, rel_importance double")
+
+
+def _forest_perm_oracle() -> str:
+    """Replay of q_forest_importance: the variance-gain argmax stump (same
+    machinery as _TREE_ORACLE, tie-break = MLlib's lowest feature index then
+    lowest threshold), then per-feature MSE after the md5-bucket cyclic
+    rotation of _permute.rotate_columns — seed 42+i per feature, 3 hex
+    chars = 4096 buckets, LEAD with first-row wraparound."""
+
+    def rot_win(key: str) -> tuple[str, str]:
+        part = (
+            f"PARTITION BY substr({key},1,3) ORDER BY {key}, "
+            "l_orderkey, l_linenumber, l_partkey, l_suppkey, q, d, y"
+        )
+        return part, f"{part} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+    wq, wqf = rot_win("kq")
+    wd, wdf = rot_win("kd")
+
+    def stump(xcol: str) -> str:
+        return (
+            f"CASE WHEN {xcol} <= (SELECT thr FROM best) "
+            f"THEN (SELECT lm FROM best) ELSE (SELECT rm FROM best) END"
+        )
+
+    def pred(qx: str, dx: str) -> str:
+        return (
+            f"CASE WHEN (SELECT feature FROM best)='l_quantity' "
+            f"THEN {stump(qx)} ELSE {stump(dx)} END"
+        )
+
+    return f"""
+WITH melted AS (
+  SELECT 'l_quantity' AS feature, 0 AS fidx, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 1, CAST(l_discount AS DOUBLE),
+         CAST(l_extendedprice AS DOUBLE)
+  FROM lineitem
+),
+dv AS (
+  SELECT feature, fidx, x, COUNT(*)::DOUBLE AS n, SUM(y) AS s, SUM(y*y) AS ss
+  FROM melted GROUP BY feature, fidx, x
+),
+thr AS (
+  SELECT feature, fidx,
+         (x + LEAD(x) OVER (PARTITION BY feature ORDER BY x))/2 AS t
+  FROM dv QUALIFY t IS NOT NULL
+),
+tots AS (
+  SELECT feature, SUM(n) AS nt, SUM(s) AS st, SUM(ss) AS sst
+  FROM dv GROUP BY feature
+),
+gains AS (
+  SELECT thr.feature, thr.fidx, thr.t, SUM(dv.n) AS nl, SUM(dv.s) AS sl,
+         tots.nt, tots.st,
+    (tots.sst/tots.nt - (tots.st/tots.nt)^2)
+    - (SUM(dv.n)/tots.nt)
+      * (SUM(dv.ss)/SUM(dv.n) - (SUM(dv.s)/SUM(dv.n))^2)
+    - ((tots.nt-SUM(dv.n))/tots.nt)
+      * ((tots.sst-SUM(dv.ss))/(tots.nt-SUM(dv.n))
+         - ((tots.st-SUM(dv.s))/(tots.nt-SUM(dv.n)))^2)
+    AS gain
+  FROM thr
+  JOIN dv ON dv.feature = thr.feature AND dv.x <= thr.t
+  JOIN tots ON tots.feature = thr.feature
+  GROUP BY thr.feature, thr.fidx, thr.t, tots.nt, tots.st, tots.sst
+),
+best AS (
+  SELECT feature, t AS thr, sl/nl AS lm, (st-sl)/(nt-nl) AS rm
+  FROM gains ORDER BY gain DESC, fidx, t LIMIT 1
+),
+keyed AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_discount AS DOUBLE) AS d,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         md5('42|' || CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR) || '|'
+                   || CAST(l_partkey AS VARCHAR) || '|'
+                   || CAST(l_suppkey AS VARCHAR)) AS kq,
+         md5('43|' || CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR) || '|'
+                   || CAST(l_partkey AS VARCHAR) || '|'
+                   || CAST(l_suppkey AS VARCHAR)) AS kd
+  FROM lineitem
+),
+rot AS (
+  SELECT q, d, y,
+         COALESCE(LEAD(q) OVER wq, FIRST_VALUE(q) OVER wqf) AS q_rot,
+         COALESCE(LEAD(d) OVER wd, FIRST_VALUE(d) OVER wdf) AS d_rot
+  FROM keyed
+  WINDOW wq AS ({wq}), wqf AS ({wqf}), wd AS ({wd}), wdf AS ({wdf})
+),
+mse AS (
+  SELECT AVG((y - ({pred('q', 'd')}))^2)         AS m0,
+         AVG((y - ({pred('q_rot', 'd')}))^2)     AS mq,
+         AVG((y - ({pred('q', 'd_rot')}))^2)     AS md_
+  FROM rot
+)
+SELECT 'l_discount' AS feature, ROUND((md_ - m0)/m0, 9) + 0.0 AS rel_importance
+FROM mse
+UNION ALL
+SELECT 'l_quantity', ROUND((mq - m0)/m0, 9) + 0.0 FROM mse
+ORDER BY feature
+"""
+
+
+def _vip_gbt_oracle(iters: int = 5, step: float = 0.1) -> str:
+    """Replay of q_vip_importance: MLlib GBT stump boosting unrolled as
+    chained CTEs. Iteration 0 fits y; iteration m fits 2*(y - pred_m)
+    (MLlib SquaredError -gradient) where pred accumulates left-to-right
+    with weights [1.0, 0.1, ...]. Each pick{{i}} is the variance-gain
+    argmax stump over midpoint thresholds (ties: lowest feature index,
+    then lowest threshold — MLlib binsToBestSplit order). Importances =
+    per-feature sum of stump gains (GBT featureImportances does NOT
+    normalize per tree; gain*count with count = all rows at the root
+    cancels in the min-max rescale), rescaled 0-100."""
+    feats = [("l_quantity", 0, "q"), ("l_discount", 1, "d"), ("l_tax", 2, "t3")]
+
+    def stump_expr(k: int) -> str:
+        col = (
+            f"(CASE (SELECT feature FROM pick{k}) "
+            + " ".join(f"WHEN '{f}' THEN {c}" for f, _, c in feats[:-1])
+            + f" ELSE {feats[-1][2]} END)"
+        )
+        return (
+            f"(CASE WHEN {col} <= (SELECT thr FROM pick{k}) "
+            f"THEN (SELECT lm FROM pick{k}) ELSE (SELECT rm FROM pick{k}) END)"
+        )
+
+    ctes = [
+        "rows_g AS (SELECT "
+        + ", ".join(f"CAST({f} AS DOUBLE) AS {c}" for f, _, c in feats)
+        + ", CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem)"
+    ]
+    for i in range(iters):
+        if i == 0:
+            tg = "y"
+        else:
+            terms = " + ".join(
+                f"{1.0 if k == 0 else step}*{stump_expr(k)}" for k in range(i)
+            )
+            tg = f"2*(y - ({terms}))"
+        melted = " UNION ALL ".join(
+            f"SELECT '{f}' AS feature, {fx} AS fidx, {c} AS x, tg FROM tgt{i}"
+            for f, fx, c in feats
+        )
+        ctes += [
+            f"tgt{i} AS (SELECT "
+            + ", ".join(c for _, _, c in feats)
+            + f", {tg} AS tg FROM rows_g)",
+            f"melted{i} AS ({melted})",
+            f"dv{i} AS (SELECT feature, fidx, x, COUNT(*)::DOUBLE AS n,"
+            f" SUM(tg) AS s, SUM(tg*tg) AS ss FROM melted{i}"
+            f" GROUP BY feature, fidx, x)",
+            f"thr{i} AS (SELECT feature, fidx,"
+            f" (x + LEAD(x) OVER (PARTITION BY feature ORDER BY x))/2 AS t"
+            f" FROM dv{i} QUALIFY t IS NOT NULL)",
+            f"tots{i} AS (SELECT feature, SUM(n) AS nt, SUM(s) AS st,"
+            f" SUM(ss) AS sst FROM dv{i} GROUP BY feature)",
+            f"""gains{i} AS (
+  SELECT t0.feature, t0.fidx, t0.t, SUM(dv.n) AS nl, SUM(dv.s) AS sl,
+         tt.nt, tt.st,
+    (tt.sst/tt.nt - (tt.st/tt.nt)^2)
+    - (SUM(dv.n)/tt.nt)*(SUM(dv.ss)/SUM(dv.n) - (SUM(dv.s)/SUM(dv.n))^2)
+    - ((tt.nt-SUM(dv.n))/tt.nt)
+      * ((tt.sst-SUM(dv.ss))/(tt.nt-SUM(dv.n))
+         - ((tt.st-SUM(dv.s))/(tt.nt-SUM(dv.n)))^2) AS gain
+  FROM thr{i} t0
+  JOIN dv{i} dv ON dv.feature = t0.feature AND dv.x <= t0.t
+  JOIN tots{i} tt ON tt.feature = t0.feature
+  GROUP BY t0.feature, t0.fidx, t0.t, tt.nt, tt.st, tt.sst)""",
+            f"pick{i} AS MATERIALIZED (SELECT feature, t AS thr,"
+            f" sl/nl AS lm, (st-sl)/(nt-nl) AS rm, gain"
+            f" FROM gains{i} ORDER BY gain DESC, fidx, t LIMIT 1)",
+        ]
+    allp = " UNION ALL ".join(
+        f"SELECT feature, gain FROM pick{k}" for k in range(iters)
+    )
+    names = ", ".join(f"('{f}')" for f, _, _ in feats)
+    ctes += [
+        f"allp AS ({allp})",
+        f"imp AS (SELECT fn.feature, COALESCE(SUM(p.gain), 0) AS raw"
+        f" FROM (VALUES {names}) fn(feature)"
+        f" LEFT JOIN allp p ON p.feature = fn.feature GROUP BY fn.feature)",
+        "mm AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx FROM imp)",
+    ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT feature, ROUND((raw - mn)/(mx - mn)*100, {ROUND}) AS importance
+FROM imp, mm ORDER BY feature
+"""
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,20 +1542,36 @@ ORDER BY f.feature
 
 
 def q_vip_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VIP step with a user-supplied MLlib estimator (step_select_vip.R:
-    120-162) through the pull_importances registry. Rows-only: GBT is an
-    iterative MLlib fit."""
+    """VIP step with a user-supplied ITERATIVE MLlib ensemble — a real
+    GBTRegressor boosting fit — through the pull_importances registry
+    (step_select_vip.R:120-162), fully oracle-checked.
+
+    With maxDepth=1 and maxBins >= #distinct there is NO RNG anywhere in
+    the fit: split candidates are the exact midpoints of consecutive
+    distinct values (no sampling below the max(maxBins^2, 10000)-row
+    threshold), subsamplingRate=1, featureSubsetStrategy=all. The boosting
+    recurrence is then replayable term-for-term: tree 0 fits y (weight
+    1.0); tree m>=1 fits -grad = 2*(y - pred) (MLlib SquaredError) and
+    adds stepSize=0.1 times its leaf means; each tree is the variance-gain
+    argmax stump (ties: lowest feature index, then lowest threshold).
+    featureImportances for GBT sums gain*count across trees WITHOUT
+    per-tree normalization, and VIP's 0-100 min-max rescale is
+    normalization-invariant — so the oracle unrolls the 5 iterations as
+    chained CTEs and recovers the identical importances (verified to
+    ~1e-11 against MLlib; comparison needs 5e-7)."""
     from pyspark.ml.regression import GBTRegressor
 
     from recipeselectors_spark.operators import VipStep
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_quantity", "l_discount", "l_extendedprice"
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
     )
     fitted = VipStep(
         "l_extendedprice",
-        model=GBTRegressor(maxIter=5, maxDepth=3, seed=42),
-        terms=["l_quantity", "l_discount"],
+        model=GBTRegressor(
+            maxIter=5, maxDepth=1, maxBins=1000, seed=42, stepSize=0.1
+        ),
+        terms=["l_quantity", "l_discount", "l_tax"],
         top_p=1,
     ).prep(li)
     rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
@@ -2582,6 +2829,8 @@ def oracle_sql() -> dict[str, str]:
         "linear_coefs": _linear_coefs_oracle(),
         "media_features": _media_features_oracle(),
         "boruta_decisions": _boruta_decisions_oracle(),
+        "forest_importance": _forest_perm_oracle(),
+        "vip_importance": _vip_gbt_oracle(),
         "linear_reg_coefs": f"""
             -- OLS with intercept on 2 predictors: closed-form normal
             -- equations over (co)variances (MLlib regParam=0 solves the

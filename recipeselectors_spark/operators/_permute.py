@@ -64,3 +64,62 @@ def permute_columns(df: DataFrame, cols: list[str], seed: int) -> DataFrame:
     """Replace ``cols`` in-place with seeded partition-local permutations.
     Map-only: no shuffle, no single-partition stage."""
     return df.mapInPandas(_permute_map(cols, cols, seed), df.schema)
+
+
+def rotate_columns(
+    df: DataFrame,
+    cols: list[str],
+    id_cols: list[str],
+    seed: int = 42,
+    bucket_chars: int = 3,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Content-deterministic column permutation — the REPLAYABLE alternative
+    to the partition-local shuffle above.
+
+    Rows are bucketed by the leading ``bucket_chars`` hex chars of
+    ``md5(seed|id...)`` (16**bucket_chars buckets) and, within each bucket
+    ordered by that hash, every column in ``cols`` is cyclically rotated by
+    one position (the last row takes the first row's value). Properties:
+
+    - a true permutation per column (the multiset of values is preserved);
+    - layout-invariant: the mapping depends only on row CONTENT (the id
+      columns), never on partitioning, scan order, or cluster size — the
+      same input gives the same permutation on 1 core or 1000 executors,
+      and the whole thing replays in plain SQL (the driver oracle does);
+    - scale-safe: ONE exchange on the bucket key; each window partition
+      holds ~n/16**bucket_chars rows, no global sort, no driver collect.
+
+    Pick ``bucket_chars`` so the mean bucket occupancy λ = n/16**chars is
+    comfortably above ~8: a singleton bucket rotates onto itself (keeps its
+    value), and the fraction of such rows is ≈ e^-λ (Poisson) — negligible
+    at λ=15 (default 3 chars ≈ 4096 buckets is sized for n ≥ ~50k; use 2
+    for small frames, 4+ when a bucket's rows would not fit one task).
+
+    Trade-off vs :func:`permute_columns`: the local shuffle is map-only
+    (cheapest) but depends on the physical layout; rotation costs one
+    bounded exchange and buys bit-reproducibility. ``id_cols`` should be a
+    row-unique key with a stable string rendering (ints/strings — doubles
+    would format differently across engines). If ``id_cols`` may collide,
+    pass every downstream-relevant column as ``tiebreak_cols``: they join
+    the ORDER BY (numeric comparison — engine-identical, no string
+    rendering), and rows that tie on key + ids + tiebreaks are identical
+    in every column that matters, so any residual tie order is harmless.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols]
+        )
+    )
+    kc, bc = "__rot_key__", "__rot_bucket__"
+    out = df.withColumn(kc, key).withColumn(bc, F.substring(F.col(kc), 1, bucket_chars))
+    w = Window.partitionBy(bc).orderBy(kc, *id_cols, *(tiebreak_cols or []))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.lead(c, 1).over(w), F.first(c).over(w_full))
+        )
+    return out.drop(kc, bc)

@@ -39,7 +39,12 @@ class ForestsStep(SelectionStep):
         mtry: int | None = None,
         min_n: int = 1,
         max_depth: int = 10,
+        max_bins: int | None = None,
+        bootstrap: bool = True,
         importance: str = "impurity",  # impurity | permutation
+        permute: str = "local",  # local | rotation
+        permute_ids: list[str] | None = None,
+        permute_bucket_chars: int = 3,
         seed: int = 42,
         skip: bool = False,
     ) -> None:
@@ -48,8 +53,19 @@ class ForestsStep(SelectionStep):
         self.mtry = mtry
         self.min_n = min_n
         self.max_depth = max_depth
+        self.max_bins = max_bins
+        self.bootstrap = bootstrap
         self.importance = importance
+        self.permute = permute
+        self.permute_ids = permute_ids
+        self.permute_bucket_chars = permute_bucket_chars
         self.seed = seed
+        if permute == "rotation" and not permute_ids:
+            raise ValueError(
+                "permute='rotation' needs permute_ids (a row-unique key) — "
+                "the content-deterministic permutation orders rows by "
+                "md5(seed|ids)"
+            )
 
     def _estimator(self, kind: str):
         cls = RandomForestClassifier if kind == "classification" else RandomForestRegressor
@@ -58,7 +74,10 @@ class ForestsStep(SelectionStep):
             minInstancesPerNode=self.min_n,
             maxDepth=self.max_depth,
             seed=self.seed,
+            bootstrap=self.bootstrap,
         )
+        if self.max_bins is not None:
+            kwargs["maxBins"] = self.max_bins
         if self.mtry is not None:
             kwargs["featureSubsetStrategy"] = str(self.mtry)
         return cls(**kwargs)
@@ -89,26 +108,53 @@ class ForestsStep(SelectionStep):
     ) -> dict[str, float]:
         """Baseline metric minus metric after per-column permutation.
 
-        The input is round-robin repartitioned ONCE (each partition a
-        systematic sample of the dataset, dispersing any global ordering)
-        and cached; each feature's permutation is then a seeded
-        PARTITION-LOCAL shuffle of that column via mapInPandas
-        (operators/_permute.py) — map-only scoring pass per feature, no
-        global sort, no join, nothing single-partition.
+        ``permute='local'`` (default): the input is round-robin
+        repartitioned ONCE (each partition a systematic sample of the
+        dataset, dispersing any global ordering) and cached; each feature's
+        permutation is then a seeded PARTITION-LOCAL shuffle of that column
+        via mapInPandas (operators/_permute.py) — map-only scoring pass per
+        feature, no global sort, no join, nothing single-partition.
+
+        ``permute='rotation'``: content-deterministic cyclic rotation in
+        md5(seed|ids) order within hash buckets (_permute.rotate_columns) —
+        one bounded exchange per feature, layout-invariant, SQL-replayable
+        (the driver oracle replays it). Requires ``permute_ids``.
         """
         base_cols = list(x_names) + [self.outcome]
-        n_parts = df.sparkSession.sparkContext.defaultParallelism
-        clean = df.select(*base_cols).dropna().repartition(n_parts).cache()
+        if self.permute == "rotation":
+            sel = base_cols + [c for c in self.permute_ids if c not in base_cols]
+            clean = df.select(*sel).dropna().cache()
+        else:
+            n_parts = df.sparkSession.sparkContext.defaultParallelism
+            clean = df.select(*base_cols).dropna().repartition(n_parts).cache()
         assembled, _ = _mllib.prepare(clean, x_names, self.outcome)
         baseline = self._metric(model, assembled, kind)
+        self._baseline_metric = baseline
 
         out: dict[str, float] = {}
         for i, c in enumerate(x_names):
-            shuffled = _permute.permute_columns(clean, [c], seed=self.seed + i)
+            if self.permute == "rotation":
+                # x+outcome as numeric tiebreaks: rows colliding in the
+                # md5 key AND every scored column are interchangeable
+                shuffled = _permute.rotate_columns(
+                    clean, [c], self.permute_ids, seed=self.seed + i,
+                    bucket_chars=self.permute_bucket_chars,
+                    tiebreak_cols=base_cols,
+                )
+            else:
+                shuffled = _permute.permute_columns(clean, [c], seed=self.seed + i)
             assembled_i, _ = _mllib.prepare(shuffled, x_names, self.outcome)
             out[c] = float(baseline - self._metric(model, assembled_i, kind))
         clean.unpersist()
         return out
+
+    def prep(self, df: DataFrame, roles=None):
+        fitted = super().prep(df, roles)
+        if self.importance == "permutation" and hasattr(self, "_baseline_metric"):
+            # the unpermuted metric the deltas are measured against —
+            # diagnostics + lets callers report scale-free relative drops
+            fitted.extras["baseline_metric"] = self._baseline_metric
+        return fitted
 
     def tunable(self):
         base = super().tunable()

@@ -170,3 +170,82 @@ def test_boruta_deterministic(cells):
     assert len(hist) == a.params["runs"]
     assert all(set(sub) | {"__shadow_max__"} == set(h) for h in hist)
     assert hist == b.extras["imp_history"]
+
+def _cars_with_rid(spark):
+    pdf = fixtures.carprices_like(n=400).reset_index(drop=True)
+    pdf["rid"] = pdf.index.astype("int64")
+    return spark.createDataFrame(pdf)
+
+
+def test_forests_rotation_permutation_deterministic(spark):
+    """permute='rotation' (content-deterministic md5-bucket cyclic shift,
+    operators/_permute.py:rotate_columns): identical scores on identical
+    content regardless of layout, and the extras carry the baseline metric
+    the relative drops are measured against."""
+    df = _cars_with_rid(spark)
+
+    def step():
+        return ForestsStep(
+            "price",
+            terms=["x01", "x05"],
+            top_p=1,
+            trees=1,
+            mtry=2,
+            bootstrap=False,
+            max_depth=1,
+            max_bins=10_000,
+            importance="permutation",
+            permute="rotation",
+            permute_ids=["rid"],
+            permute_bucket_chars=1,
+            seed=42,
+        )
+
+    a = step().prep(df)
+    b = step().prep(df.repartition(5))
+    assert a.scores == b.scores  # layout-invariant, bit-identical
+    assert "baseline_metric" in a.extras
+    assert a.extras["baseline_metric"] == b.extras["baseline_metric"]
+    # permuting the signal feature hurts the fit; deltas are MSE increases
+    assert max(a.scores.values()) > 0
+
+
+def test_forests_rotation_requires_ids():
+    with pytest.raises(ValueError, match="permute_ids"):
+        ForestsStep("price", top_p=1, permute="rotation", importance="permutation")
+
+
+def test_forests_single_tree_no_bootstrap_is_deterministic_stump(cars):
+    """trees=1 + bootstrap=False + mtry=p: no RNG stream left — two seeds
+    give the identical fit (the variance-gain argmax stump)."""
+    pdf, df = cars
+    kw = dict(
+        terms=["x01", "x05"], top_p=1, trees=1, mtry=2,
+        bootstrap=False, max_depth=1, max_bins=10_000,
+    )
+    a = ForestsStep("price", seed=1, **kw).prep(df)
+    b = ForestsStep("price", seed=99, **kw).prep(df)
+    assert a.scores == b.scores
+    assert a.exclude == b.exclude
+
+
+def test_vip_gbt_stump_boosting_deterministic(cars):
+    """GBT maxDepth=1 + maxBins >= #distinct: the whole boosting loop is
+    RNG-free — two seeds give identical registry importances."""
+    from pyspark.ml.regression import GBTRegressor
+
+    pdf, df = cars
+
+    def mk(seed):
+        return VipStep(
+            "price",
+            model=GBTRegressor(
+                maxIter=5, maxDepth=1, maxBins=10_000, seed=seed, stepSize=0.1
+            ),
+            terms=["x01", "x05"],
+            top_p=1,
+        )
+
+    a = mk(1).prep(df)
+    b = mk(12345).prep(df)
+    assert a.scores == b.scores
