@@ -43,14 +43,21 @@ def label_mapping(df: DataFrame, outcome: str) -> dict[str, int]:
 
 
 def prepare(
-    df: DataFrame, x_names: list[str], outcome: str
+    df: DataFrame, x_names: list[str], outcome: str,
+    mapping: dict[str, int] | None = None,
 ) -> tuple[DataFrame, str]:
-    """Return (assembled df with __features__/__label__, task kind)."""
+    """Return (assembled df with __features__/__label__, task kind).
+
+    ``mapping`` lets iterative callers (Boruta runs, per-feature
+    permutation passes) compute the label dictionary ONCE and skip the
+    per-call distinct job — the outcome column is untouched by shadowing/
+    permutation, so the mapping is invariant across their iterations."""
     kind = outcome_kind(df, outcome)
     cols = list(x_names) + [outcome]
     clean = df.select(*cols).dropna()
     if kind == "classification":
-        mapping = label_mapping(clean, outcome)
+        if mapping is None:
+            mapping = label_mapping(clean, outcome)
         expr = F.lit(None).cast("double")
         for cls_name, idx in mapping.items():
             expr = F.when(F.col(outcome) == cls_name, float(idx)).otherwise(expr)

@@ -93,7 +93,10 @@ class BorutaStep(SelectionStep):
     def _fit_importances(
         self, df: DataFrame, all_feats: list[str], kind: str
     ) -> np.ndarray:
-        assembled, _ = _mllib.prepare(df, all_feats, self.outcome)
+        # label mapping computed once in prep (outcome untouched by shadows)
+        assembled, _ = _mllib.prepare(
+            df, all_feats, self.outcome, mapping=getattr(self, "_label_map", None)
+        )
         cls = RandomForestClassifier if kind == "classification" else RandomForestRegressor
         model = _mllib.fit_estimator(
             cls(numTrees=self.trees, maxDepth=self.max_depth, seed=self.seed)
@@ -121,6 +124,13 @@ class BorutaStep(SelectionStep):
             .dropna()
             .repartition(n_parts)
             .cache()
+        )
+        # one distinct job for the label dictionary, reused by every run —
+        # each run previously re-derived it through the Arrow shadow pass
+        self._label_map = (
+            _mllib.label_mapping(clean, self.outcome)
+            if kind == "classification"
+            else None
         )
 
         hits = {c: 0 for c in x_names}

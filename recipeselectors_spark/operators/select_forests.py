@@ -127,7 +127,14 @@ class ForestsStep(SelectionStep):
         else:
             n_parts = df.sparkSession.sparkContext.defaultParallelism
             clean = df.select(*base_cols).dropna().repartition(n_parts).cache()
-        assembled, _ = _mllib.prepare(clean, x_names, self.outcome)
+        # label dictionary once — the outcome column is untouched by the
+        # per-feature permutations, so every pass shares the same mapping
+        mapping = (
+            _mllib.label_mapping(clean, self.outcome)
+            if kind == "classification"
+            else None
+        )
+        assembled, _ = _mllib.prepare(clean, x_names, self.outcome, mapping=mapping)
         baseline = self._metric(model, assembled, kind)
         self._baseline_metric = baseline
 
@@ -143,7 +150,9 @@ class ForestsStep(SelectionStep):
                 )
             else:
                 shuffled = _permute.permute_columns(clean, [c], seed=self.seed + i)
-            assembled_i, _ = _mllib.prepare(shuffled, x_names, self.outcome)
+            assembled_i, _ = _mllib.prepare(
+                shuffled, x_names, self.outcome, mapping=mapping
+            )
             out[c] = float(baseline - self._metric(model, assembled_i, kind))
         clean.unpersist()
         return out

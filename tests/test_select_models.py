@@ -249,3 +249,42 @@ def test_vip_gbt_stump_boosting_deterministic(cars):
     a = mk(1).prep(df)
     b = mk(12345).prep(df)
     assert a.scores == b.scores
+
+def test_boruta_label_mapping_computed_once(cells, monkeypatch):
+    """The label dictionary is invariant across Boruta runs (shadowing never
+    touches the outcome), so prep computes it ONCE and threads it through
+    _mllib.prepare — no per-run distinct job through the Arrow shadow
+    pass."""
+    from recipeselectors_spark.operators import _mllib
+
+    pdf, df = cells
+    calls = []
+    real = _mllib.label_mapping
+    monkeypatch.setattr(
+        _mllib, "label_mapping", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    BorutaStep(
+        "class", terms=["x01", "x02", "x10", "x11"], max_runs=4,
+        trees=5, max_depth=3,
+    ).prep(df)
+    assert len(calls) == 1, calls
+
+
+def test_forests_permutation_label_mapping_computed_once(cells, monkeypatch):
+    """Same invariance for permutation importance: the model fit computes
+    one mapping, and baseline + per-feature passes share ONE more — never
+    one per permuted frame."""
+    from recipeselectors_spark.operators import _mllib
+
+    pdf, df = cells
+    calls = []
+    real = _mllib.label_mapping
+    monkeypatch.setattr(
+        _mllib, "label_mapping", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    ForestsStep(
+        "class", terms=["x01", "x02", "x10", "x11"], top_p=2,
+        trees=5, max_depth=3, importance="permutation",
+    ).prep(df)
+    # 1 for the fit (score's prepare) + 1 shared by the 5 scoring passes
+    assert len(calls) == 2, calls
