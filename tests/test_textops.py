@@ -661,3 +661,68 @@ def test_decontaminate_auto_fallback_routes(spark):
     b = forced_s.toPandas().set_index("doc_id").sort_index()
     assert (a["n_contaminated"] == b["n_contaminated"]).all()
     assert (a["contaminated"] == b["contaminated"]).all()
+
+
+def test_star_components_match_label_on_shallow_graph(spark):
+    """large-star/small-star gives the identical clustering as label
+    propagation on the usual shallow near-dup graphs."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # a few random near-cliques + singletons
+    edges, vid = [], 0
+    for size in (2, 3, 5, 4):
+        members = list(range(vid, vid + size))
+        vid += size
+        for i in members:
+            for j in members:
+                if i < j and rng.random() < 0.7:
+                    edges.append((i, j))
+        edges.append((members[0], members[-1]))  # keep it connected
+    verts = spark.createDataFrame([(i,) for i in range(vid + 3)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(
+            pairs, verts, strategy="label"
+        ).collect()
+    )
+    star = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(
+            pairs, verts, strategy="star"
+        ).collect()
+    )
+    assert lab == star
+
+
+def test_auto_components_survive_deep_chain(spark):
+    """A 64-hop duplicate chain (diameter >> the label-prop round budget):
+    strategy='label' warns and may split; the default 'auto' falls back to
+    large-star/small-star and returns ONE component, no warning."""
+    import warnings as W
+
+    n = 65
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+    with W.catch_warnings():
+        W.simplefilter("error")  # any RuntimeWarning -> failure
+        got = dict(
+            (r["doc_id"], r["cluster"])
+            for r in dedup.connected_components(
+                pairs, verts, max_iter=5, strategy="auto"
+            ).collect()
+        )
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        lab = dict(
+            (r["doc_id"], r["cluster"])
+            for r in dedup.connected_components(
+                pairs, verts, max_iter=5, strategy="label"
+            ).collect()
+        )
+    assert set(lab.values()) != {0}  # the split the warning is about
