@@ -85,10 +85,14 @@ def minhash_candidates(
     id_col: str = "doc_id",
     minhash_col: str = "minhash",
     bands: int = 8,
+    num_perm: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
-    Returns (band, bucket, doc_id) — one ``explode`` + one shuffle."""
-    n = df.select(F.size(minhash_col)).first()[0]
+    Returns (band, bucket, doc_id) — one ``explode`` + one shuffle.
+    Pass ``num_perm`` explicitly to skip the signature-length probe action
+    (required for STREAMING inputs, where an eager ``first()`` is illegal).
+    """
+    n = num_perm if num_perm is not None else df.select(F.size(minhash_col)).first()[0]
     rows_per_band = n // bands
     band_hashes = F.array(
         *[

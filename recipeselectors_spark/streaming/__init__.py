@@ -82,3 +82,71 @@ def stateful_turn_features(stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming keep-first exact dedup — the batch ``dedup.dedup_exact``
+    semantics over an unbounded source.
+
+    Keys each document by ``md5(text)`` and drops repeats with
+    ``dropDuplicatesWithinWatermark``: the first arrival passes, later
+    copies are suppressed, and — the scale property — the dedup STATE for a
+    hash expires once the event-time watermark moves past it, so state is
+    bounded by the watermark horizon instead of growing with the corpus.
+    The horizon is therefore the guarantee window: a duplicate arriving
+    more than ``watermark`` of event time after its original is NOT
+    caught; catch-everything dedup of an unbounded stream needs unbounded
+    state by definition (use the batch operator on the landed data for the
+    periodic full pass)."""
+    keyed = stream.withColumn("__h__", F.md5(F.col(text_col)))
+    return (
+        keyed.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark(["__h__"])
+        .drop("__h__")
+    )
+
+
+def streaming_near_dup_flags(
+    stream: DataFrame,
+    corpus_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Flag incoming documents that LSH-collide with an EXISTING corpus —
+    the incremental-ingest shape of MinHash dedup.
+
+    The stream side is fully STATELESS (shingle → minhash → band buckets,
+    all Catalyst expressions from operators/dedup.py — no action, no
+    state store); collisions come from a stream-static equi-join on
+    (band, bucket) against ``corpus_banded`` (the
+    ``dedup.minhash_candidates`` output for the landed corpus — same
+    num_perm/bands/seed or buckets will never match). The static side is
+    re-read every micro-batch, so refreshing the corpus band table on disk
+    rolls new documents into the filter without restarting the query.
+
+    Emits one row PER COLLIDING BAND: (stream id, band, bucket, corpus
+    ``dup_of``) — downstream either treats any hit as a flag or verifies
+    est-Jaccard batch-side exactly like the batch pipeline."""
+    from recipeselectors_spark.operators import dedup as D
+
+    mh = D.with_minhash(
+        stream, text_col, num_perm=num_perm, k_shingle=k_shingle, seed=seed
+    )
+    banded = D.minhash_candidates(
+        mh, id_col=id_col, bands=bands, num_perm=num_perm
+    )
+    corpus = corpus_banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("dup_of")
+    )
+    return banded.join(corpus, ["band", "bucket"]).select(
+        id_col, "band", "bucket", "dup_of"
+    )

@@ -116,3 +116,121 @@ def test_stateful_turn_features_across_microbatches(spark, tmp_path):
         want["cum_avg_text_len"].to_numpy(),
         rtol=1e-12,
     )
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """streaming_exact_dedup: the first arrival of each text passes, later
+    copies are dropped — including copies that arrive in a LATER
+    micro-batch (the state store carries the seen-hash set across
+    triggers within the watermark horizon)."""
+    from recipeselectors_spark.streaming import streaming_exact_dedup
+
+    base = pd.Timestamp("2026-03-01")
+    texts = [f"unique document number {i} about topic {i % 5}" for i in range(8)]
+    batches = [
+        # batch 0: originals 0-5
+        [(f"d0{i}", texts[i], base + pd.Timedelta(minutes=i)) for i in range(6)],
+        # batch 1: two cross-batch duplicates + two fresh docs
+        [
+            ("dup-a", texts[1], base + pd.Timedelta(minutes=10)),
+            ("dup-b", texts[4], base + pd.Timedelta(minutes=11)),
+            ("d06", texts[6], base + pd.Timedelta(minutes=12)),
+            ("d07", texts[7], base + pd.Timedelta(minutes=13)),
+        ],
+        # batch 2: an in-horizon duplicate of a batch-1 doc
+        [("dup-c", texts[6], base + pd.Timedelta(minutes=20))],
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = "doc_id string, text string, ts timestamp"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "ts"]), schema=schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "b*"))
+    )
+    out = streaming_exact_dedup(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exact_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+    got = spark.sql("SELECT * FROM exact_dedup_stream").toPandas()
+    # every distinct text exactly once, and never via a dup-* row
+    assert sorted(got["text"].tolist()) == sorted(texts)
+    assert not got["doc_id"].str.startswith("dup-").any()
+
+
+def test_streaming_near_dup_flags(spark, tmp_path):
+    """streaming_near_dup_flags: stateless MinHash banding on the stream +
+    a stream-static join against the landed corpus's band table — planted
+    near-duplicates of corpus docs are flagged, unrelated docs are not."""
+    import numpy as np
+
+    from recipeselectors_spark.operators import dedup as D
+    from recipeselectors_spark.streaming import streaming_near_dup_flags
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(60)]
+
+    def doc(k: int, n: int = 30) -> str:
+        return " ".join(rng.choice(words, size=n))
+
+    corpus_texts = {f"c{i}": doc(i) for i in range(6)}
+    corpus_pdf = pd.DataFrame(
+        {"doc_id": list(corpus_texts), "text": list(corpus_texts.values())}
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    corpus_banded = D.minhash_candidates(
+        D.with_minhash(corpus), bands=8, num_perm=32
+    )
+
+    # stream: near-copies of c1/c3 (one word changed) + unrelated docs
+    near1 = corpus_texts["c1"].split(); near1[5] = "CHANGED"
+    near3 = corpus_texts["c3"].split(); near3[0] = "ALTERED"
+    base = pd.Timestamp("2026-03-02")
+    stream_pdf = pd.DataFrame(
+        {
+            "doc_id": ["s-dup1", "s-dup3", "s-clean1", "s-clean2"],
+            "text": [
+                " ".join(near1),
+                " ".join(near3),
+                "completely different content about rivers and mountains xyz",
+                "another unrelated short document qqq zzz about cooking",
+            ],
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(4)],
+        }
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    schema = "doc_id string, text string, ts timestamp"
+    spark.createDataFrame(stream_pdf, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "b0"))
+
+    stream = spark.readStream.schema(schema).parquet(str(d / "b*"))
+    flags = streaming_near_dup_flags(stream, corpus_banded)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("near_dup_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM near_dup_flags").toPandas()
+    flagged = dict(
+        got.groupby("doc_id")["dup_of"].agg(lambda s: set(s)).items()
+    )
+    assert "c1" in flagged.get("s-dup1", set())
+    assert "c3" in flagged.get("s-dup3", set())
+    assert "s-clean1" not in flagged and "s-clean2" not in flagged
