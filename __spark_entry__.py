@@ -862,7 +862,11 @@ def q_infgain_mdl_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no kernel task ever holds a data-sized histogram. With the bin budget
     above the distinct-value count every value keeps its own bucket and the
     result is bit-identical to ``infgain_mdl`` — so this query shares that
-    query's full recursive-CTE MDLP oracle."""
+    query's full recursive-CTE MDLP oracle. The budget is derived FROM the
+    data (countDistinct + 1) rather than hard-coded: a fixed constant holds
+    only below some scale factor (16384 already breaks at sf0.1, where
+    `value` has 17,792 distinct values) and would silently flip this query
+    red on a larger driver SF."""
     from recipeselectors_spark.operators import InfGainStep
 
     ev = _events(spark, sf_dir)
@@ -873,9 +877,17 @@ def q_infgain_mdl_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neg")
         .alias("y"),
     )
+    bins = (
+        df.select(
+            F.greatest(
+                F.countDistinct("value"), F.countDistinct("props_len")
+            ).alias("d")
+        ).first()["d"]
+        + 1
+    )
     fitted = InfGainStep(
         "y", terms=["value", "props_len"], top_p=1,
-        mdl_gate_distinct=0, mdl_prebucket_bins=16384,
+        mdl_gate_distinct=0, mdl_prebucket_bins=bins,
     ).prep(df)
     rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
     return spark.createDataFrame(rows, "feature string, infogain double")

@@ -115,11 +115,22 @@ def rotate_columns(
         )
     )
     kc, bc = "__rot_key__", "__rot_bucket__"
+    rn, cnt = "__rot_rn__", "__rot_cnt__"
     out = df.withColumn(kc, key).withColumn(bc, F.substring(F.col(kc), 1, bucket_chars))
     w = Window.partitionBy(bc).orderBy(kc, *id_cols, *(tiebreak_cols or []))
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # wraparound by POSITION (last row takes the first row's value), not by
+    # coalesce(lead, first): a genuine NULL value in `c` would make lead()
+    # NULL mid-bucket and coalesce would silently swap it for the bucket's
+    # first value — destroying the NULL and breaking the permutation
+    out = out.withColumn(rn, F.row_number().over(w)).withColumn(
+        cnt, F.count(F.lit(1)).over(w_full)
+    )
     for c in cols:
         out = out.withColumn(
-            c, F.coalesce(F.lead(c, 1).over(w), F.first(c).over(w_full))
+            c,
+            F.when(F.col(rn) == F.col(cnt), F.first(c).over(w_full)).otherwise(
+                F.lead(c, 1).over(w)
+            ),
         )
-    return out.drop(kc, bc)
+    return out.drop(kc, bc, rn, cnt)

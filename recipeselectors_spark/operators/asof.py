@@ -338,7 +338,11 @@ def asof_join_cogroup_sliced(
             "unbounded backward join cannot be time-sliced (any older row "
             "may match); use asof_join_cogroup"
         )
-    w = slice_s if slice_s is not None else tolerance_s
+    # tolerance_s=0 (exact-timestamp matches only) is legal — any positive
+    # slice width covers its zero-length lookback window
+    w = slice_s if slice_s is not None else max(tolerance_s, 1)
+    if w <= 0:
+        raise ValueError(f"slice_s={w} must be a positive number of seconds")
     if w < tolerance_s:
         raise ValueError(
             f"slice_s={w} < tolerance_s={tolerance_s}: a lookback window "

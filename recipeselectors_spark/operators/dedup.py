@@ -483,11 +483,9 @@ def connected_components(
 
     Returns (id_col, cluster) with cluster = min id of the component.
     """
-    if strategy == "star":
-        sym0 = pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        )
-        stars = _star_components(sym0)
+    def _stars_to_clusters(stars: DataFrame) -> DataFrame:
+        # star edges (u, v=component min); vertices with no edge (incl. the
+        # minima themselves) are their own cluster
         return (
             vertices.select(F.col(id_col))
             .join(stars, vertices[id_col] == stars.u, "left")
@@ -496,6 +494,12 @@ def connected_components(
                 F.coalesce("v", F.col(id_col)).alias("cluster"),
             )
         )
+
+    if strategy == "star":
+        sym0 = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        return _stars_to_clusters(_star_components(sym0))
     lab = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("label")
     ).localCheckpoint()
@@ -533,15 +537,7 @@ def connected_components(
         if strategy == "auto":
             # a deeper-than-max_iter component: restart on the log-round
             # algorithm so the answer is correct instead of silently split
-            stars = _star_components(sym)
-            return (
-                vertices.select(F.col(id_col))
-                .join(stars, vertices[id_col] == stars.u, "left")
-                .select(
-                    F.col(id_col),
-                    F.coalesce("v", F.col(id_col)).alias("cluster"),
-                )
-            )
+            return _stars_to_clusters(_star_components(sym))
         # strategy='label' pinned explicitly: surface the split (ADVICE r3)
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds; "

@@ -87,8 +87,13 @@ def read_day_partitioned(
             & (F.col(day_col) >= F.to_date(F.lit(ts_from)))
         )
     if ts_to is not None:
+        # ts_to is EXCLUSIVE, so the last day that can contain a matching
+        # row is the day of (ts_to - 1 microsecond): an exact-midnight
+        # ts_to must not admit (and scan) the whole following day
+        last_day = F.to_date(
+            F.lit(ts_to).cast("timestamp") - F.expr("INTERVAL 1 MICROSECOND")
+        )
         df = df.where(
-            (F.col(ts_col) < F.lit(ts_to))
-            & (F.col(day_col) <= F.to_date(F.lit(ts_to)))
+            (F.col(ts_col) < F.lit(ts_to)) & (F.col(day_col) <= last_day)
         )
     return df

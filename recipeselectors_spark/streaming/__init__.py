@@ -147,6 +147,10 @@ def streaming_near_dup_flags(
     corpus = corpus_banded.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("dup_of")
     )
-    return banded.join(corpus, ["band", "bucket"]).select(
-        id_col, "band", "bucket", "dup_of"
+    return (
+        banded.join(corpus, ["band", "bucket"])
+        # a landed stream doc re-seen after a corpus refresh would collide
+        # with itself on every band — never its own near-duplicate
+        .where(F.col(id_col) != F.col("dup_of"))
+        .select(id_col, "band", "bucket", "dup_of")
     )

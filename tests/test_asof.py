@@ -374,3 +374,17 @@ def test_sliced_cogroup_guards(spark, frames):
         asof.asof_join_cogroup_sliced(
             s, f, ["v1"], tolerance_s=600, slice_s=300
         )
+
+
+def test_sliced_cogroup_zero_tolerance(spark, frames):
+    """tolerance_s=0 (exact-timestamp matches only) is legal: slice width
+    defaults to 1s and the result equals the unsliced join."""
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    want = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], tolerance_s=0, num_shards=4
+    ).toPandas()
+    got = asof.asof_join_cogroup_sliced(
+        s, f, ["v1", "v2"], tolerance_s=0, num_shards=4
+    ).toPandas()
+    _check(got, want)

@@ -96,3 +96,32 @@ def test_day_partition_pruning(spark, tmp_path):
     files_read = got.select(F.input_file_name()).distinct().collect()
     days = {r[0].split("ds=")[1].split("/")[0] for r in files_read}
     assert days == {"2026-03-04"}
+
+
+def test_day_partition_midnight_boundary_pruned(spark, tmp_path):
+    """ts_to at exactly midnight must NOT admit (and scan) the ts_to day:
+    the day predicate derives from ts_to - 1 microsecond, so the
+    PartitionFilters upper bound folds to the PREVIOUS day."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    base = dt.datetime(2026, 3, 1)
+    for d in range(10):
+        for i in range(20):
+            rows.append((f"c-{d}-{i}", base + dt.timedelta(days=d, minutes=i), float(i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "v"])
+    path = str(tmp_path / "daytbl2")
+    bucketed.write_day_partitioned(spark.createDataFrame(pdf), path)
+
+    got = bucketed.read_day_partitioned(
+        spark, path,
+        ts_from=dt.datetime(2026, 3, 4),
+        ts_to=dt.datetime(2026, 3, 5),  # exclusive, exactly midnight
+    )
+    assert got.count() == 20
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "<= 2026-03-04" in pf     # upper bound is the PREVIOUS day
+    assert "2026-03-05" not in pf    # the empty boundary day never scans

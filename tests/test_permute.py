@@ -142,3 +142,16 @@ def test_rotation_no_global_sort(iddf):
     rot = _permute.rotate_columns(iddf, ["x1"], ["rid"], seed=3)
     plan = _plan(rot)
     assert "SinglePartition" not in plan
+
+
+def test_rotation_preserves_nulls(spark):
+    """A NULL value is part of the multiset and must survive rotation as a
+    value, not be swallowed by a wraparound coalesce."""
+    pdf = pd.DataFrame(
+        {"rid": list(range(9)), "x": [1.0, None, 3.0, 4.0, None, 6.0, 7.0, 8.0, 9.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    rot = _permute.rotate_columns(df, ["x"], ["rid"], seed=1, bucket_chars=1)
+    got = rot.toPandas()["x"]
+    assert got.isna().sum() == 2
+    assert sorted(got.dropna().tolist()) == [1.0, 3.0, 4.0, 6.0, 7.0, 8.0, 9.0]
