@@ -726,3 +726,72 @@ def test_auto_components_survive_deep_chain(spark):
             ).collect()
         )
     assert set(lab.values()) != {0}  # the split the warning is about
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    """quality_flags: each Gopher/C4 rule fires on its planted violation
+    with the right reason tag; clean docs keep an empty reason array; the
+    whole thing is one map-only Catalyst projection (no Exchange, no
+    Python UDF in the plan)."""
+    from recipeselectors_spark.operators.quality_filter import (
+        QualityRules, quality_filter, quality_flags,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "through the quiet forest while morning light filters down "
+        "between the old tall trees onto soft green moss and the small "
+        "stream that winds slowly past large grey stones toward the "
+        "wide open valley below where farmers tend their quiet fields"
+    )
+    rows = [
+        ("ok", good),
+        ("short", "too short"),
+        ("rep", ("spam " * 80).strip()),
+        ("punct", " ".join(f"w{i} !!{i}!!" for i in range(30))),
+        ("de", "der die das und ist nicht mit von auf für " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    flagged = quality_flags(df, rules=QualityRules(min_stopword_ratio=None))
+    got = {r["doc_id"]: (r["kept"], set(r["drop_reasons"])) for r in flagged.collect()}
+    assert got["ok"] == (True, set())
+    assert not got["short"][0] and "too_few_tokens" in got["short"][1]
+    assert not got["rep"][0] and {"rep_unigram", "rep_bigram"} <= got["rep"][1]
+    assert not got["punct"][0] and "punct_ratio" in got["punct"][1]
+    assert not got["de"][0] and "language" in got["de"][1]
+
+    kept = quality_filter(df, rules=QualityRules(min_stopword_ratio=None))
+    assert [r["doc_id"] for r in kept.collect()] == ["ok"]
+
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # map-only
+    assert "BatchEvalPython" not in plan   # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan   # no pandas UDF either
+
+
+def test_quality_filter_rule_toggles(spark):
+    """None disables a rule; max_pii=0 drops any doc with detected PII."""
+    from recipeselectors_spark.operators.quality_filter import (
+        QualityRules, quality_flags,
+    )
+
+    rows = [
+        ("pii", "contact me at someone@example.com for the complete "
+                "details about the offer we discussed last week together"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    lax = QualityRules(
+        min_tokens=None, max_tokens=None, max_punct_ratio=None,
+        min_stopword_ratio=None, max_rep_unigram=None, max_rep_bigram=None,
+        min_mean_word_len=None, max_mean_word_len=None, allowed_langs=None,
+        max_pii=None,
+    )
+    assert quality_flags(df, rules=lax).first()["kept"] is True
+    strict = QualityRules(
+        min_tokens=None, max_tokens=None, max_punct_ratio=None,
+        min_stopword_ratio=None, max_rep_unigram=None, max_rep_bigram=None,
+        min_mean_word_len=None, max_mean_word_len=None, allowed_langs=None,
+        max_pii=0,
+    )
+    got = quality_flags(df, rules=strict).first()
+    assert got["kept"] is False and got["drop_reasons"] == ["pii"]
