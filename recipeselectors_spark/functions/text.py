@@ -196,3 +196,43 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 31) -> int:
         if i >= window - 1:
             best = h if best is None else min(best, h)
     return best
+
+
+def winnow_fingerprints(
+    text: str, k: int = 8, window: int = 16, mod: int = (1 << 61) - 1
+) -> np.ndarray:
+    """Full winnowing (Schleimer, Wilkerson & Aiken 2003 'local algorithms
+    for document fingerprinting'): Rabin-Karp hashes of every k-byte gram,
+    then the minimum of each sliding window of ``window`` hashes, deduped.
+    Guarantee: any shared substring of length >= k + window - 1 bytes
+    between two documents produces at least one SHARED fingerprint — the
+    basis of cross-document repeated-span detection. Vectorized numpy
+    (no per-window Python loop); returns the sorted distinct selection."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(data)
+    if n < k:
+        return np.array([hash_str64(text) % mod], dtype=np.int64)
+    base = 257
+    # rolling k-gram hashes via cumulative horner in python-int space is
+    # O(n*k); instead do the classic rolling update vectorized by steps:
+    # h[i+1] = (h[i] - data[i]*base^(k-1)) * base + data[i+k]
+    # numpy can't carry the data dependency, so compute with object-free
+    # int64 math using modular exponent folding across a python loop over
+    # K (small, <= k) rather than N.
+    m = np.int64(mod)
+    powers = np.array(
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=np.int64
+    )
+    # h[i] = sum_j data[i+j] * base^(k-1-j) mod p  — k shifted adds, O(k)
+    # numpy passes over length-n arrays (k is small; n is the data)
+    h = np.zeros(n - k + 1, dtype=np.int64)
+    d64 = data.astype(np.int64)
+    for j in range(k):
+        h = (h + (d64[j : j + n - k + 1] * powers[j]) % m) % m
+    if len(h) < window:
+        return np.unique(h)
+    # sliding-window min without a Python loop: stride trick
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, window).min(axis=1)
+    return np.unique(mins)

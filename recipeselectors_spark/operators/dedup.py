@@ -653,3 +653,71 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def repeated_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    window: int = 32,
+    min_shared: int = 2,
+    max_postings: int | None = 10_000,
+) -> DataFrame:
+    """Cross-document REPEATED-SPAN detection — the winnowing approximation
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"; fingerprint selection per Schleimer et
+    al. 2003).
+
+    Whole-document near-dup (MinHash) misses a boilerplate paragraph pasted
+    into otherwise-different documents; this catches it: every shared
+    substring of >= k + window - 1 bytes is guaranteed to yield a shared
+    winnowed fingerprint, so documents sharing >= ``min_shared``
+    fingerprints are repeated-span candidates.
+
+    Scale shape — the posting-list pattern, same discipline as the LSH
+    bucket join: per-doc fingerprints from a vectorized Arrow batch kernel
+    (functions/text.winnow_fingerprints — numpy sliding-window min, no
+    per-window Python), explode to (fingerprint, doc) postings, drop
+    "stop-fingerprints" appearing in more than ``max_postings`` docs (a
+    fingerprint shared by half the corpus is boilerplate the caller should
+    extract, not a pair candidate — capping bounds the self-join exactly
+    like LSH bucket caps), self-join within fingerprint, count shared
+    prints per pair. Returns (id_a, id_b, n_shared), id_a < id_b.
+    """
+    from pyspark.sql.types import ArrayType
+    from pyspark.sql.window import Window
+
+    from recipeselectors_spark.functions.text import winnow_fingerprints
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def prints(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                winnow_fingerprints(
+                    str(t) if t is not None else "", k=k, window=window
+                ).tolist()
+                for t in texts
+            ]
+        )
+
+    postings = df.select(
+        F.col(id_col), F.explode(prints(F.col(text_col))).alias("__fp__")
+    )
+    if max_postings is not None:
+        postings = (
+            postings.withColumn(
+                "__n__", F.count("*").over(Window.partitionBy("__fp__"))
+            )
+            .where(F.col("__n__") <= max_postings)
+            .drop("__n__")
+        )
+    a = postings.select(F.col(id_col).alias("id_a"), "__fp__")
+    b = postings.select(F.col(id_col).alias("id_b"), "__fp__")
+    return (
+        a.join(b, "__fp__")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -795,3 +795,34 @@ def test_quality_filter_rule_toggles(spark):
     )
     got = quality_flags(df, rules=strict).first()
     assert got["kept"] is False and got["drop_reasons"] == ["pii"]
+
+
+def test_repeated_span_pairs(spark):
+    """Winnowing repeated-span detection: a boilerplate paragraph pasted
+    into two otherwise-DIFFERENT documents (whole-doc MinHash would miss
+    it) is caught; unrelated docs produce no pair; max_postings drops
+    corpus-wide stop-fingerprints."""
+    span = ("this exact boilerplate legal disclaimer paragraph appears "
+            "verbatim in many scraped pages and should be detected as a "
+            "repeated span across documents")
+    rows = [
+        ("a", "totally unique preamble about astronomy. " + span + " unique tail A."),
+        ("b", "different intro concerning cooking recipes! " + span + " other ending B."),
+        ("c", "no shared content here at all, just words about hiking trails and maps."),
+        ("d", "another independent document discussing music theory and chords."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.repeated_span_pairs(df, min_shared=2).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 2
+    assert all(p == ("a", "b") for p in got)  # no false pairs
+
+    # the span is NOT whole-doc near-dup material: est Jaccard stays low
+    mh = dedup.minhash_dedup_pairs(df, threshold=0.7)
+    assert mh.count() == 0
+
+    # stop-fingerprint cap: with max_postings=1 every shared print drops
+    capped = dedup.repeated_span_pairs(df, min_shared=1, max_postings=1)
+    assert capped.count() == 0
