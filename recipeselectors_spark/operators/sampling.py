@@ -81,3 +81,96 @@ def split_by_hash(
     for cut, name in reversed(cuts):
         expr = F.when(b < cut, name).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    key: str,
+    budget: int,
+    salt: int = 0,
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """Concat-and-split sequence packing — assign documents to fixed token
+    budgets (training examples), the GPT-style pretraining batching shape.
+
+    Documents are ordered content-deterministically (by ``xxhash64(key)``
+    within 16**bucket_chars hash buckets — the same layout-invariant
+    discipline as :func:`deterministic_sample`: identical packing on any
+    partitioning, any cluster size, replayable in SQL) and packed by
+    running token count: a document starts in pack ``floor(cum_before /
+    budget)`` of its bucket. A document whose tokens straddle a budget
+    boundary is flagged ``straddles`` (trainers either mask across the
+    seam or re-chunk those few); a document longer than the whole budget
+    always straddles and should be pre-chunked upstream.
+
+    One exchange (the bucket window); cumsum is a per-bucket running sum,
+    never a global sort. Output adds ``pack_id`` (string: bucket hex +
+    '-' + index) and ``straddles``; the pack universe is
+    16**bucket_chars × (bucket tokens / budget).
+    """
+    from pyspark.sql.window import Window
+
+    kc = F.xxhash64(F.col(key).cast("string"), F.lit(salt))
+    b = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, bucket_chars), 16, 10)
+    tmp_k, tmp_b = "__pack_key__", "__pack_bucket__"
+    out = df.withColumn(tmp_k, kc).withColumn(tmp_b, b)
+    w = (
+        Window.partitionBy(tmp_b)
+        .orderBy(tmp_k, F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_after = F.sum(F.col(token_count_col)).over(w)
+    cum_before = cum_after - F.col(token_count_col)
+    return (
+        out.withColumn(
+            "pack_id",
+            F.concat_ws(
+                "-",
+                F.col(tmp_b).cast("string"),
+                F.floor(cum_before / F.lit(budget)).cast("string"),
+            ),
+        )
+        .withColumn(
+            "straddles",
+            F.floor(cum_before / F.lit(budget))
+            != F.floor((cum_after - 1) / F.lit(budget)),
+        )
+        .drop(tmp_k, tmp_b)
+    )
+
+
+def mixture_sample(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    total_fraction: float,
+    key: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Multi-source corpus mixture — downsample each source so the blended
+    output approximates the target ``weights`` (e.g. web .6 / code .3 /
+    books .1) at ``total_fraction`` of the combined volume, with a
+    ``source`` column. The per-source keep fraction is derived from the
+    actual source sizes (one count() per source — bounded driver work) so
+    the OUTPUT proportions match ``weights`` regardless of how unbalanced
+    the inputs are; a fraction that would exceed 1.0 clamps to the full
+    source (an undersized source caps out — rebalance weights or accept
+    the skew). Membership is content-deterministic per source
+    (:func:`deterministic_sample`), so the mixture is reproducible across
+    layouts and re-runs."""
+    if set(sources) != set(weights):
+        raise ValueError(
+            f"sources {sorted(sources)} and weights {sorted(weights)} differ"
+        )
+    total_w = sum(weights.values())
+    counts = {name: src.count() for name, src in sources.items()}
+    target_total = total_fraction * sum(counts.values())
+    out = None
+    for name, src in sources.items():
+        want = target_total * weights[name] / total_w
+        frac = min(1.0, want / max(counts[name], 1))
+        part = deterministic_sample(src, frac, key, salt=salt).withColumn(
+            "source", F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

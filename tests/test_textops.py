@@ -826,3 +826,64 @@ def test_repeated_span_pairs(spark):
     # stop-fingerprint cap: with max_postings=1 every shared print drops
     capped = dedup.repeated_span_pairs(df, min_shared=1, max_postings=1)
     assert capped.count() == 0
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-split packing: within each pack (minus its last,
+    possibly-straddling doc) token sums stay <= budget; packing is
+    layout-invariant; every doc gets exactly one pack."""
+    from recipeselectors_spark.operators import sampling as S
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"doc{i}" for i in range(400)],
+            "n_tok": rng.integers(20, 400, size=400),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    packed = S.pack_sequences(df, "n_tok", key="doc_id", budget=1024,
+                              bucket_chars=1).toPandas()
+    assert len(packed) == 400
+    for pid, g in packed.groupby("pack_id"):
+        non_straddle = g[~g["straddles"]]
+        assert non_straddle["n_tok"].sum() <= 1024, pid
+    # straddlers exist (docs cross budget seams in concat packing)
+    assert packed["straddles"].any()
+
+    # layout invariance: repartitioned input gives the identical packing
+    packed2 = (
+        S.pack_sequences(df.repartition(7), "n_tok", key="doc_id",
+                         budget=1024, bucket_chars=1)
+        .toPandas()
+    )
+    a = packed.sort_values("doc_id").reset_index(drop=True)
+    b = packed2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pack_id"] == b["pack_id"]).all()
+    assert (a["straddles"] == b["straddles"]).all()
+
+
+def test_mixture_sample_proportions(spark):
+    """Output proportions track the target weights even with unbalanced
+    sources; membership is content-deterministic (same rows on rerun)."""
+    from recipeselectors_spark.operators import sampling as S
+
+    web = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    code = spark.range(100_000, 104_000).withColumnRenamed("id", "doc_id")
+    out = S.mixture_sample(
+        {"web": web, "code": code},
+        weights={"web": 0.5, "code": 0.5},
+        total_fraction=0.2,
+        key="doc_id",
+    )
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # target: 0.2 * 24000 = 4800 total, 2400 each (code has 4000 — fits)
+    assert abs(counts["web"] - 2400) < 300
+    assert abs(counts["code"] - 2400) < 300
+    # reproducible: second build == first
+    out2 = S.mixture_sample(
+        {"web": web, "code": code}, {"web": 0.5, "code": 0.5}, 0.2, "doc_id"
+    )
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
