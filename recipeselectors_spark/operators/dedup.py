@@ -721,3 +721,36 @@ def repeated_span_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+    cc_strategy: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): documents
+    whose EMBEDDINGS are near-identical (cosine >= threshold) collapse to
+    one representative per semantic cluster — catching paraphrases and
+    template rewrites that lexical MinHash misses.
+
+    Composition of existing scale-safe parts: hyperplane-LSH candidate
+    pairs with exact cosine verification (:func:`embedding_near_dup_pairs`
+    — never the n² pair space), connected components over the pair graph
+    (:func:`connected_components`, 'auto' = label propagation with the
+    large-star/small-star fallback), keep the min id per cluster. Returns
+    the deduplicated frame (original columns)."""
+    pairs = embedding_near_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_planes=n_planes, bands=bands, seed=seed, max_bucket=max_bucket,
+    )
+    comp = connected_components(
+        pairs, df.select(id_col), id_col=id_col, strategy=cc_strategy
+    )
+    keep = comp.where(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -887,3 +887,29 @@ def test_mixture_sample_proportions(spark):
         {"web": web, "code": code}, {"web": 0.5, "code": 0.5}, 0.2, "doc_id"
     )
     assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup composition: a chain of near-identical embeddings (A~B~C,
+    transitively one semantic cluster) keeps exactly one representative;
+    distant vectors all survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+
+    def nudge(eps):
+        v = base + eps * rng.normal(size=16)
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    rows = [(0, nudge(0.0)), (1, nudge(0.01)), (2, nudge(0.02))]
+    for i in range(3, 10):
+        v = rng.normal(size=16); v /= np.linalg.norm(v)
+        rows.append((i, v.astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup.semantic_dedup(df, threshold=0.98, max_bucket=None).collect()
+    )
+    assert kept == [0] + list(range(3, 10))
