@@ -935,9 +935,31 @@ def q_carscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_round(v: float, sig: int = ROUND) -> float:
+    """Round to ``sig`` SIGNIFICANT digits. Fixed-decimal ROUND keeps too
+    many significant digits for a large-magnitude value: a ~961 OLS coef at
+    6 decimals is a 9-significant-digit comparison, tighter than the ~1e-9
+    relative agreement two engines' float accumulation orders deliver (the
+    exact flip observed at sf0.1 — green at sf0.01, red at 10x). The
+    DuckDB counterpart is the same log10-derived digit count."""
+    import math
+
+    if v == 0 or not math.isfinite(v):
+        return v + 0.0
+    return round(v, sig - 1 - math.floor(math.log10(abs(v)))) + 0.0
+
+
+def _sig_round_sql(expr: str, sig: int = ROUND) -> str:
+    return (
+        f"ROUND({expr}, {sig} - 1 - "
+        f"CAST(FLOOR(LOG10(ABS({expr}))) AS INT)) + 0.0"
+    )
+
+
 def q_linear_reg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|OLS coefficients| via LinearStep (penalty=0 → MLlib normal-equation
-    solve, exact least squares) — closed-form covariance SQL in the oracle."""
+    solve, exact least squares) — closed-form covariance SQL in the oracle.
+    Coefficients compare at 6 SIGNIFICANT digits (see _sig_round)."""
     from recipeselectors_spark.operators import LinearStep
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -946,7 +968,7 @@ def q_linear_reg_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted = LinearStep(
         "l_extendedprice", terms=["l_quantity", "l_discount"], top_p=1
     ).prep(li)
-    rows = [(k, round(v, ROUND)) for k, v in sorted(fitted.scores.items())]
+    rows = [(k, _sig_round(v)) for k, v in sorted(fitted.scores.items())]
     return spark.createDataFrame(rows, "feature string, abs_coef double")
 
 
@@ -2856,12 +2878,12 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
             SELECT 'l_discount' AS feature,
-                   ROUND(ABS((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12)), {ROUND})
+                   {_sig_round_sql("ABS((c2y*v1 - c1y*c12) / (v1*v2 - c12*c12))")}
                      AS abs_coef
             FROM s
             UNION ALL
             SELECT 'l_quantity',
-                   ROUND(ABS((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12)), {ROUND})
+                   {_sig_round_sql("ABS((c1y*v2 - c2y*c12) / (v1*v2 - c12*c12))")}
             FROM s
             ORDER BY feature
         """,
