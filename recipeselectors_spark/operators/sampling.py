@@ -174,3 +174,45 @@ def mixture_sample(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into token-bounded chunks (with optional token
+    overlap) — the upstream companion of :func:`pack_sequences`, which
+    flags documents longer than a whole pack budget.
+
+    Pure Catalyst: tokenize once, slice by a generated start-index
+    sequence, explode — map-only, no shuffle, no Python. Output replaces
+    ``text_col`` with the chunk text and adds ``chunk_idx`` and
+    ``n_chunks``; short documents pass through as their own single chunk.
+    Chunk boundaries are whitespace-token aligned (a tokenizer-exact
+    variant would swap in the BPE-ish regex tokens)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap={overlap} < max_tokens={max_tokens}")
+    from recipeselectors_spark.functions import text as TX
+
+    step = max_tokens - overlap
+    toks = TX.tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return (
+        df.withColumn("__chunks__", chunks)
+        .select(
+            *out_cols,
+            F.size("__chunks__").alias("n_chunks"),
+            F.posexplode("__chunks__").alias("chunk_idx", text_col),
+        )
+    )

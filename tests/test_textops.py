@@ -913,3 +913,57 @@ def test_semantic_dedup(spark):
         for r in dedup.semantic_dedup(df, threshold=0.98, max_bucket=None).collect()
     )
     assert kept == [0] + list(range(3, 10))
+
+
+def test_chunk_documents(spark):
+    """Token-bounded chunking: coverage (every token appears), overlap
+    semantics, short-doc passthrough, map-only plan."""
+    from recipeselectors_spark.operators import sampling as S
+
+    long_text = " ".join(f"t{i}" for i in range(25))
+    rows = [("long", long_text), ("short", "just a few words here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = S.chunk_documents(df, max_tokens=10, overlap=2).toPandas()
+
+    short = out[out["doc_id"] == "short"]
+    assert len(short) == 1 and short.iloc[0]["text"] == "just a few words here"
+
+    lg = out[out["doc_id"] == "long"].sort_values("chunk_idx")
+    # stride 8: starts 0,8,16,24 -> 4 chunks
+    assert list(lg["chunk_idx"]) == [0, 1, 2, 3]
+    assert (lg["n_chunks"] == 4).all()
+    chunks = [c.split() for c in lg["text"]]
+    assert chunks[0] == [f"t{i}" for i in range(10)]
+    assert chunks[1][:2] == ["t8", "t9"]          # overlap carried
+    assert set(t for c in chunks for t in c) == {f"t{i}" for i in range(25)}
+
+    plan = S.chunk_documents(df, max_tokens=10, overlap=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="overlap"):
+        S.chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_winnow_guarantee_property(spark):
+    """Property (hypothesis): any two texts sharing a substring of length
+    >= k + window - 1 bytes share at least one winnowed fingerprint — the
+    detection guarantee repeated_span_pairs is built on."""
+    from hypothesis import given, settings, strategies as st
+
+    from recipeselectors_spark.functions.text import winnow_fingerprints
+
+    K, W = 8, 8
+    alpha = st.text(alphabet="abcdefgh ", min_size=0, max_size=40)
+    span_st = st.text(alphabet="stuvwxyz ", min_size=K + W - 1, max_size=60)
+
+    @settings(max_examples=60, deadline=None)
+    @given(prefix_a=alpha, suffix_a=alpha, prefix_b=alpha, suffix_b=alpha,
+           span=span_st)
+    def check(prefix_a, suffix_a, prefix_b, suffix_b, span):
+        a = prefix_a + span + suffix_a
+        b = prefix_b + span + suffix_b
+        fa = set(winnow_fingerprints(a, k=K, window=W).tolist())
+        fb = set(winnow_fingerprints(b, k=K, window=W).tolist())
+        assert fa & fb, (a, b)
+
+    check()
