@@ -388,3 +388,20 @@ def test_sliced_cogroup_zero_tolerance(spark, frames):
         s, f, ["v1", "v2"], tolerance_s=0, num_shards=4
     ).toPandas()
     _check(got, want)
+
+
+def test_sliced_cogroup_plan_shape(spark, frames):
+    """Physical-plan pin for the sliced join: exactly one exchange per
+    side (hash on (shard, slice)), no SinglePartition stage, no extra
+    shuffle introduced by the slice replication (it is a map-side
+    explode)."""
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    out = asof.asof_join_cogroup_sliced(
+        s, f, ["v1", "v2"], tolerance_s=600, slice_s=600, num_shards=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 2, f"expected 2 exchanges (one per side): {n_exchanges}"
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
