@@ -967,3 +967,64 @@ def test_winnow_guarantee_property(spark):
         assert fa & fb, (a, b)
 
     check()
+
+
+def test_full_corpus_pipeline_end_to_end(spark):
+    """The whole training-data story composed on the real documents table:
+    quality filter -> exact dedup -> near-dup cluster dedup ->
+    decontaminate -> chunk -> pack -> grouped train/val split. Pins the
+    invariants a production pipeline needs: monotone shrinkage through the
+    cleaning stages, chunk token bounds, split disjointness/exhaustiveness
+    with whole-document grouping."""
+    from recipeselectors_spark.functions import text as TX
+    from recipeselectors_spark.operators import sampling as S
+    from recipeselectors_spark.operators.quality_filter import (
+        QualityRules, quality_filter,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality filter (thresholds suited to the synthetic word-salad)
+    rules = QualityRules(min_tokens=10, max_rep_unigram=0.95,
+                         max_rep_bigram=0.95, min_stopword_ratio=None,
+                         allowed_langs=None)
+    clean = quality_filter(docs, rules=rules)
+    n1 = clean.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact + near-dup cluster dedup (keeps one rep per true cluster)
+    deduped = dedup.dedup_corpus_clusters(clean, threshold=0.8)
+    keep_ids = deduped.select("doc_id")
+    corpus = clean.join(keep_ids, "doc_id", "left_semi")
+    n2 = corpus.count()
+    assert 0 < n2 <= n1
+
+    # 3. decontaminate against a fake benchmark built from one kept doc
+    bench = corpus.limit(1).select("text")
+    marked = dedup.decontaminate(corpus, bench)
+    n_contam = marked.where("contaminated").count()
+    assert n_contam >= 1  # the benchmark's source doc flags itself
+    final_docs = marked.where(~F.col("contaminated")).select("doc_id", "text")
+    n3 = final_docs.count()
+    assert n3 == n2 - n_contam
+
+    # 4. chunk + pack
+    chunks = S.chunk_documents(final_docs, max_tokens=64, overlap=8)
+    assert chunks.select(F.max(TX.token_count("text"))).first()[0] <= 64
+    chunks = chunks.withColumn(
+        "chunk_id", F.concat_ws("#", "doc_id", "chunk_idx")
+    ).withColumn("n_tok", TX.token_count("text"))
+    packed = S.pack_sequences(chunks, "n_tok", key="chunk_id", budget=256,
+                              bucket_chars=1)
+    assert packed.count() == chunks.count()
+
+    # 5. grouped split: all chunks of a doc co-travel
+    split = S.split_by_hash(packed, {"train": 0.8, "val": 0.2}, key="doc_id")
+    per_doc = split.groupBy("doc_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_doc.where("k > 1").count() == 0
+    counts = {r["split"]: r["count"]
+              for r in split.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val"} and counts.get("train", 0) > 0
