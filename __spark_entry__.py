@@ -7,9 +7,11 @@ DataFrame); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over the
 same parquet views. Column names and rounding are matched on both sides
 (driver compare is order-insensitive value-hash over name-sorted columns).
 
-Non-SQL-expressible operators (MDL infgain, iterative MLlib fits — GBT/RF/
-logit — boruta runs, media decode) are exposed as rows-only checks (no
-oracle entry). Deterministic pure functions of the data get GENERATED
+Every query has a full DuckDB oracle (50/50 since round 4 — zero
+rows-only): iterative fits are made RNG-free and replayed in recursive /
+chained CTEs (IRLS logit, GBT boosting, RF-as-exact-stump, MDLP),
+decision layers (Boruta) are recomputed from deterministic importance
+streams. Deterministic pure functions of the data get GENERATED
 oracles even when they need constants (LSH planes, 257-powers, MinHash
 affine params), a bit-exact XXH64 re-implementation in SQL
 (functions/xxh64_sql.py — minhash_pairs/dedup_corpus), or data-driven
@@ -716,8 +718,8 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible operators — driver records a weaker
-# rows-only check; full oracles live in tests/ against pandas/numpy)
+# corpus-pipeline compositions (each with a full generated SQL oracle —
+# XXH64 replay / window SQL; kernel-level oracles also live in tests/)
 # ---------------------------------------------------------------------------
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1618,8 +1620,8 @@ def q_vip_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     pull_importances dispatch + the 0-100 rescale) — same variance-gain
     argmax oracle as tree_importance, but exercising the user-supplied-
     estimator surface end-to-end (step_select_vip.R:120-162). The GBT
-    variant stays rows-only (`vip_importance`) — iterative ensembles are
-    not SQL-replayable."""
+    variant (`vip_importance`) is ALSO fully oracle-checked: its RNG-free
+    boosting recurrence is unrolled in chained CTEs."""
     from pyspark.ml.regression import DecisionTreeRegressor
 
     from recipeselectors_spark.operators import VipStep
@@ -1650,10 +1652,11 @@ def q_boruta_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 pseudo-importance (bias(name) + md5_u64/2^64) that
     DuckDB replays bit-for-bit via md5_number_upper, and the oracle
     recomputes hits, runs, and all three decisions (Confirmed / Rejected /
-    Tentative appear) with lgamma binomial tails in SQL. Only the RF
-    importance VALUES stay unpinned (MLlib ensemble RNG — covered rows-only
-    by forest_importance and by pytest decision-agreement tests on the real
-    RandomForest path)."""
+    Tentative appear) with lgamma binomial tails in SQL. Only the MLlib
+    ensemble-RNG importance VALUES inside a default multi-tree Boruta stay
+    pytest-pinned (decision-agreement tests on the real RandomForest
+    path); the driver-checked queries (`forest_importance`,
+    `vip_importance`, this one) all carry full SQL oracles."""
     import hashlib
 
     import numpy as np
@@ -2568,8 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "carscore": q_carscore,
         "linear_coefs": q_linear_coefs,
         "media_features": q_media_features,
-        # rows-only (no SQL oracle: RF/GBT ensemble fits with MLlib-internal
-        # RNG streams — the only genuinely non-replayable operators)
+        # real MLlib fits made RNG-free (RF exact stump / GBT boosting
+        # recurrence / deterministic importance stream) — full SQL oracles
         "forest_importance": q_forest_importance,
         "vip_importance": q_vip_importance,
         "boruta_decisions": q_boruta_decisions,

@@ -198,8 +198,12 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 31) -> int:
     return best
 
 
+WINNOW_MOD = (1 << 55) - 55  # largest prime < 2^55: 255*(mod-1) < 2^63, so
+#                              every byte*power product fits int64 exactly
+
+
 def winnow_fingerprints(
-    text: str, k: int = 8, window: int = 16, mod: int = (1 << 61) - 1
+    text: str, k: int = 8, window: int = 16, mod: int = WINNOW_MOD
 ) -> np.ndarray:
     """Full winnowing (Schleimer, Wilkerson & Aiken 2003 'local algorithms
     for document fingerprinting'): Rabin-Karp hashes of every k-byte gram,
@@ -207,7 +211,14 @@ def winnow_fingerprints(
     Guarantee: any shared substring of length >= k + window - 1 bytes
     between two documents produces at least one SHARED fingerprint — the
     basis of cross-document repeated-span detection. Vectorized numpy
-    (no per-window Python loop); returns the sorted distinct selection."""
+    (no per-window Python loop); returns the sorted distinct selection.
+
+    ``mod`` must stay below 2^55 so ``byte * base^j mod p`` products fit
+    int64 (255 * (2^55-1) < 2^63): with the default prime the kernel is a
+    TRUE polynomial hash mod p — no silent int64 wraparound — and therefore
+    replayable bit-for-bit in SQL (DuckDB HUGEINT)."""
+    if mod >= 1 << 55:
+        raise ValueError(f"mod={mod} >= 2^55 would overflow int64 products")
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = len(data)
     if n < k:

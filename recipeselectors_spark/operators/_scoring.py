@@ -129,7 +129,8 @@ def learn_numeric_cuts(
     ``mdl_prebucket_bins × classes`` cells. When every distinct value lands
     in its own bucket (always true once distinct ≤ bins, the gate's whole
     point) the result is bit-identical to the ungated path — pinned by
-    tests/test_discretize.py::test_mdl_gate_agrees via the gate=0 trick;
+    tests/test_select_filters.py::test_mdl_gate_agrees_with_ungated via the
+    gate=0 trick;
     above the budget, cuts land on bucket-representative midpoints (a
     documented approximation, same spirit as ``sample_frac``).
     ``mdl_gate_distinct=None`` disables the gate."""

@@ -47,6 +47,12 @@ def quality_flags(
     """Append ``kept`` (boolean) and ``drop_reasons`` (array<string>,
     empty when kept) — one Catalyst projection, no shuffle/UDF."""
     r = rules or QualityRules()
+    if r.allowed_langs is not None and len(r.allowed_langs) == 0:
+        raise ValueError(
+            "allowed_langs=() is ambiguous: an empty allowlist would drop "
+            "every document. Pass None to disable the language rule, or a "
+            "non-empty tuple of language codes."
+        )
     t = F.col(text_col)
     toks = TX.token_count(t)
     rep_uni, rep_bi = TX.repetition_ratios(t)

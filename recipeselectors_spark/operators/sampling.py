@@ -146,18 +146,36 @@ def mixture_sample(
     total_fraction: float,
     key: str,
     salt: int = 0,
+    allow_repeat: bool = False,
+    plan_out: dict | None = None,
 ) -> DataFrame:
-    """Multi-source corpus mixture — downsample each source so the blended
+    """Multi-source corpus mixture — sample each source so the blended
     output approximates the target ``weights`` (e.g. web .6 / code .3 /
     books .1) at ``total_fraction`` of the combined volume, with a
     ``source`` column. The per-source keep fraction is derived from the
     actual source sizes (one count() per source — bounded driver work) so
     the OUTPUT proportions match ``weights`` regardless of how unbalanced
-    the inputs are; a fraction that would exceed 1.0 clamps to the full
-    source (an undersized source caps out — rebalance weights or accept
-    the skew). Membership is content-deterministic per source
+    the inputs are. Membership is content-deterministic per source
     (:func:`deterministic_sample`), so the mixture is reproducible across
-    layouts and re-runs."""
+    layouts and re-runs.
+
+    An undersized source (fraction > 1.0):
+
+    * ``allow_repeat=False`` (default) — clamps to the full source; the
+      output mixture drifts from ``weights`` (real training mixtures often
+      DO repeat rare high-quality sources — opt in below).
+    * ``allow_repeat=True`` — deterministic upsampling: every row emits
+      ``floor(frac)`` full copies plus one more iff its content hash lands
+      in the fractional remainder (explode over a literal range — still
+      layout-invariant, rerun-identical). Output gains a ``copy_idx``
+      column (0-based repetition index; 0 for all rows of non-repeated
+      sources) so trainers can shuffle or de-weight repeats.
+
+    ``plan_out``, if a dict is passed, is filled with the achieved plan per
+    source — ``{name: {"count", "fraction", "expected_rows",
+    "achieved_weight", "clamped"}}`` — so callers can detect weight drift
+    programmatically (``achieved_weight`` != normalized target weight when
+    a source clamped)."""
     if set(sources) != set(weights):
         raise ValueError(
             f"sources {sorted(sources)} and weights {sorted(weights)} differ"
@@ -165,13 +183,52 @@ def mixture_sample(
     total_w = sum(weights.values())
     counts = {name: src.count() for name, src in sources.items()}
     target_total = total_fraction * sum(counts.values())
+
+    fracs: dict[str, float] = {}
+    for name in sources:
+        want = target_total * weights[name] / total_w
+        raw = want / max(counts[name], 1)
+        fracs[name] = raw if allow_repeat else min(1.0, raw)
+
+    expected = {n: fracs[n] * counts[n] for n in sources}
+    exp_total = max(sum(expected.values()), 1e-12)
+    if plan_out is not None:
+        for name in sources:
+            plan_out[name] = {
+                "count": counts[name],
+                "fraction": round(fracs[name], 9),
+                "expected_rows": round(expected[name], 3),
+                "achieved_weight": round(expected[name] / exp_total, 9),
+                "clamped": (not allow_repeat)
+                and target_total * weights[name] / total_w
+                > counts[name],
+            }
+
     out = None
     for name, src in sources.items():
-        want = target_total * weights[name] / total_w
-        frac = min(1.0, want / max(counts[name], 1))
-        part = deterministic_sample(src, frac, key, salt=salt).withColumn(
-            "source", F.lit(name)
-        )
+        frac = fracs[name]
+        if allow_repeat:
+            full = int(frac)
+            rem = frac - full
+            b = _bucket(key, salt)
+            n_copies = F.lit(full) + F.when(
+                b < int(rem * BUCKETS), F.lit(1)
+            ).otherwise(F.lit(0))
+            # filter zero-copy rows BEFORE the explode (sequence() with
+            # start > stop would descend, not produce an empty array), then
+            # explode a per-row literal range: k copies -> k output rows
+            part = (
+                src.where(n_copies > 0)
+                .withColumn(
+                    "copy_idx",
+                    F.explode(F.sequence(F.lit(0), n_copies - F.lit(1))),
+                )
+                .withColumn("source", F.lit(name))
+            )
+        else:
+            part = deterministic_sample(src, frac, key, salt=salt).withColumn(
+                "source", F.lit(name)
+            )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -200,8 +257,13 @@ def chunk_documents(
     step = max_tokens - overlap
     toks = TX.tokens(F.col(text_col))
     n = F.size(toks)
+    # upper bound n-overlap-1 (not n-1): a start s with s+overlap >= n would
+    # emit a chunk fully contained in the previous one (which already covers
+    # through s+overlap), duplicating corpus text; for n <= max_tokens the
+    # first reachable non-zero start (= step) already exceeds the bound, so
+    # short docs still yield exactly one chunk
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
     )
     chunks = F.transform(
         starts,

@@ -889,6 +889,65 @@ def test_mixture_sample_proportions(spark):
     assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
 
 
+def test_mixture_sample_upsampling(spark):
+    """allow_repeat=True repeats undersized sources deterministically:
+    a source needing ~2.5x repetition hits its target weight (floor copies
+    + hash-sampled fractional remainder), output is rerun-identical, and
+    plan_out reports achieved proportions / clamping."""
+    from recipeselectors_spark.operators import sampling as S
+
+    web = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    rare = spark.range(100_000, 102_000).withColumnRenamed("id", "doc_id")
+    kw = dict(
+        weights={"web": 0.5, "rare": 0.5}, total_fraction=0.5, key="doc_id"
+    )
+    # target: 0.5 * 22000 = 11000 total, 5500 each; rare has 2000 -> 2.75x
+    plan: dict = {}
+    out = S.mixture_sample(
+        {"web": web, "rare": rare}, allow_repeat=True, plan_out=plan, **kw
+    )
+    counts = {
+        r["source"]: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    assert abs(counts["web"] - 5500) < 400
+    assert abs(counts["rare"] - 5500) < 400          # upsampled past 2000
+    assert plan["rare"]["fraction"] == 2.75
+    assert abs(plan["rare"]["achieved_weight"] - 0.5) < 1e-9
+    assert not plan["rare"]["clamped"]
+    # every rare doc appears at least floor(2.75)=2 times; copy_idx dense
+    per_doc = (
+        out.where("source = 'rare'").groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] in (2, 3) for r in per_doc)
+    assert out.where("source = 'rare' AND copy_idx = 1").count() == 2000
+    # rerun-identical (content-deterministic repetition)
+    out2 = S.mixture_sample({"web": web, "rare": rare}, allow_repeat=True, **kw)
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+    # default path still clamps — and says so in the plan
+    plan2: dict = {}
+    clamped = S.mixture_sample(
+        {"web": web, "rare": rare}, plan_out=plan2, **kw
+    )
+    assert plan2["rare"]["clamped"] and plan2["rare"]["fraction"] == 1.0
+    assert plan2["rare"]["achieved_weight"] < 0.33
+    assert clamped.where("source = 'rare'").count() == 2000
+    assert "copy_idx" not in clamped.columns
+
+
+def test_quality_filter_empty_allowlist_raises(spark):
+    """allowed_langs=() is ambiguous (would semantically drop ALL docs) —
+    explicit ValueError instead of a silently-pass-everything rule."""
+    from recipeselectors_spark.operators.quality_filter import (
+        QualityRules,
+        quality_flags,
+    )
+
+    df = spark.createDataFrame([("the quick brown fox",)], "text string")
+    with pytest.raises(ValueError, match="allowed_langs"):
+        quality_flags(df, rules=QualityRules(allowed_langs=()))
+
+
 def test_semantic_dedup(spark):
     """SemDeDup composition: a chain of near-identical embeddings (A~B~C,
     transitively one semantic cluster) keeps exactly one representative;
@@ -929,9 +988,11 @@ def test_chunk_documents(spark):
     assert len(short) == 1 and short.iloc[0]["text"] == "just a few words here"
 
     lg = out[out["doc_id"] == "long"].sort_values("chunk_idx")
-    # stride 8: starts 0,8,16,24 -> 4 chunks
-    assert list(lg["chunk_idx"]) == [0, 1, 2, 3]
-    assert (lg["n_chunks"] == 4).all()
+    # stride 8: starts 0,8,16 — NOT 24: 24+overlap >= 25, so that chunk
+    # ([t24]) would be fully contained in chunk 2 (tokens 16..24) and is
+    # dropped (no duplicated corpus text); chunk 2 still reaches the end
+    assert list(lg["chunk_idx"]) == [0, 1, 2]
+    assert (lg["n_chunks"] == 3).all()
     chunks = [c.split() for c in lg["text"]]
     assert chunks[0] == [f"t{i}" for i in range(10)]
     assert chunks[1][:2] == ["t8", "t9"]          # overlap carried
