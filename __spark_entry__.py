@@ -1417,17 +1417,33 @@ def _det_sample_oracle() -> str:
     """
 
 
+_PACK_BUDGET = 128
+_PACK_SALT = 3
+_PACK_CHARS = 2
+
+
 def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-based train/val/test split: disjoint, exhaustive, deterministic
-    by key content — rows of one key co-travel (leakage-free grouped
-    splits). Oracle replays the cutoff chain over the same XXH64 buckets."""
+    """Hash-based train/val/test split PLUS sequence packing in one query
+    (the driver contract is capped at 50 slots — related batch-assembly
+    checks share one). Split: disjoint, exhaustive, deterministic by key
+    content — rows of one key co-travel (leakage-free grouped splits).
+    Packing (operators/sampling.py:pack_sequences): docs ordered by
+    xxhash64 within md5-hex buckets, assigned to fixed token budgets by
+    running cumsum; ``straddles`` marks budget-boundary crossers. Oracle
+    replays the XXH64 cutoff chain, the md5 bucket, AND the window cumsum."""
     from recipeselectors_spark.operators import sampling
 
-    docs = _documents(spark, sf_dir)
+    docs = _documents(spark, sf_dir).withColumn(
+        "n_toks", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
     out = sampling.split_by_hash(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key="doc_id", salt=1
     )
-    return out.select("doc_id", "split")
+    packed = sampling.pack_sequences(
+        out, "n_toks", key="doc_id", budget=_PACK_BUDGET, salt=_PACK_SALT,
+        bucket_chars=_PACK_CHARS,
+    )
+    return packed.select("doc_id", "split", "pack_id", "straddles")
 
 
 def _split_hash_oracle() -> str:
@@ -1438,13 +1454,40 @@ def _split_hash_oracle() -> str:
         X.hash_int_sql("1", X.xxh64_str_sql("CAST(doc_id AS VARCHAR)"))
     )
     bucket = f"(({h}) % {BUCKETS} + {BUCKETS}) % {BUCKETS}"
+    # pack order key: SIGNED xxhash64(str(doc_id), salt) — Spark orders the
+    # raw int64; the md5 bucket is the leading hex chars parsed to decimal
+    # (Spark F.conv == DuckDB '0x'-prefixed UBIGINT cast, both drop leading
+    # zeros in the VARCHAR rendering)
+    kc = X.to_signed_sql(
+        X.hash_int_sql(str(_PACK_SALT), X.xxh64_str_sql("CAST(doc_id AS VARCHAR)"))
+    )
     # names sorted: test, train, val; cumulative cutoffs 0.1, 0.9; rest=val
     return f"""
-        SELECT doc_id,
-               CASE WHEN {bucket} < {int(0.1 * BUCKETS)} THEN 'test'
-                    WHEN {bucket} < {int(0.9 * BUCKETS)} THEN 'train'
-                    ELSE 'val' END AS split
-        FROM documents
+        WITH base AS (
+          SELECT doc_id,
+                 length(string_split(text, ' '))::BIGINT AS n_toks,
+                 CASE WHEN {bucket} < {int(0.1 * BUCKETS)} THEN 'test'
+                      WHEN {bucket} < {int(0.9 * BUCKETS)} THEN 'train'
+                      ELSE 'val' END AS split,
+                 ({kc}) AS kc,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                 {_PACK_CHARS}))::UBIGINT AS bkt
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, split, n_toks, bkt,
+                 SUM(n_toks) OVER (PARTITION BY bkt ORDER BY kc, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_after
+          FROM base
+        )
+        SELECT doc_id, split,
+               CAST(bkt AS VARCHAR) || '-' ||
+                 CAST((cum_after - n_toks) // {_PACK_BUDGET} AS VARCHAR)
+                 AS pack_id,
+               (cum_after - n_toks) // {_PACK_BUDGET}
+                 <> (cum_after - 1) // {_PACK_BUDGET} AS straddles
+        FROM packed
     """
 
 
@@ -1719,11 +1762,41 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cosine", F.round("cosine", 5))
 
 
+_SPAN_K = 16
+_SPAN_WINDOW = 8
+_SPAN_MIN_SHARED = 2
+_SPAN_MAX_POSTINGS = 10_000
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint PLUS repeated-span detection in one query (the
+    50-slot contract — both run the same winnowing family). ``fingerprint``
+    is the rolling min-hash (winnowing-lite); ``n_span_partners`` counts
+    the documents sharing >= min_shared FULL-winnowing fingerprints
+    (operators/dedup.py:repeated_span_pairs — the posting-list self-join
+    that catches cross-document boilerplate MinHash misses). The oracle
+    replays BOTH kernels: the 257-power rolling hash mod 2^31 and the full
+    Schleimer winnowing (k-gram polynomial hash mod the <2^55 prime,
+    sliding-window min, posting-list pair join) in pure SQL."""
     from recipeselectors_spark.operators import dedup as D
 
-    return D.with_fingerprint(_documents(spark, sf_dir)).select(
-        "doc_id", "fingerprint"
+    docs = _documents(spark, sf_dir)
+    fp = D.with_fingerprint(docs).select("doc_id", "fingerprint")
+    pairs = D.repeated_span_pairs(
+        docs, k=_SPAN_K, window=_SPAN_WINDOW, min_shared=_SPAN_MIN_SHARED,
+        max_postings=_SPAN_MAX_POSTINGS,
+    )
+    partners = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_span_partners"))
+    )
+    return fp.join(partners, "doc_id", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce("n_span_partners", F.lit(0)).cast("bigint")
+        .alias("n_span_partners"),
     )
 
 
@@ -1864,8 +1937,8 @@ def _lsh_ann_oracle() -> str:
 
 # FNV-1a 64-bit over a byte list (functions/text.py:hash_str64) as a DuckDB
 # expression: HUGEINT arithmetic mod 2^64, init value prepended (DuckDB 1.0's
-# list_reduce takes no initial accumulator). Documents are ASCII, so
-# unicode(char) == the UTF-8 byte.
+# list_reduce takes no initial accumulator). Byte lists come from
+# xxh64_sql.str_to_bytes_sql — true UTF-8 bytes for any Unicode input.
 _FNV64 = (
     "list_reduce([14695981039346656037::HUGEINT] || [b::HUGEINT FOR b IN {bytes}], "
     "(h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT) "
@@ -1878,7 +1951,9 @@ def _simhash_oracle() -> str:
     whitespace token, per-bit +/-1 votes over all tokens (duplicates
     included), bit i set iff votes > 0; the uint64 signature reinterpreted
     as int64 (numpy astype wrap)."""
-    tok_bytes = "[unicode(tok[i]) FOR i IN generate_series(1, length(tok))]"
+    from recipeselectors_spark.functions import xxh64_sql as X
+
+    tok_bytes = X.str_to_bytes_sql("tok")
     return f"""
         WITH t AS (
           SELECT doc_id,
@@ -1916,13 +1991,13 @@ def _fingerprint_oracle(window: int = 16, mod: int = 1 << 31) -> str:
     sum(byte[j]*257^(w-1-j)) mod 2^31; texts shorter than the window fall
     back to FNV-1a mod 2^31. The 257-powers are baked from Python so they
     cannot drift."""
+    from recipeselectors_spark.functions import xxh64_sql as X
+
     pows = [pow(257, window - 1 - j, mod) for j in range(window)]
     pws = "[" + ", ".join(str(p) for p in pows) + "]"
     return f"""
         WITH t AS (
-          SELECT doc_id,
-                 [unicode(text[i]) FOR i IN generate_series(1, length(text))]
-                   AS bts
+          SELECT doc_id, {X.str_to_bytes_sql("text")} AS bts
           FROM documents
         ),
         rolled AS (
@@ -1935,9 +2010,74 @@ def _fingerprint_oracle(window: int = 16, mod: int = 1 << 31) -> str:
                      FOR i IN generate_series(1, length(bts) - {window} + 1)])
             END AS fp
           FROM t
-        )
-        SELECT doc_id, CAST(fp AS BIGINT) AS fingerprint FROM rolled
+        ){{extra_ctes}}
+        SELECT doc_id, CAST(fp AS BIGINT) AS fingerprint{{extra_cols}} FROM rolled
+        {{extra_tail}}
     """
+
+
+def _fingerprint_spans_oracle() -> str:
+    """q_fingerprint's combined oracle: the rolling fingerprint CTEs from
+    :func:`_fingerprint_oracle` plus a full-winnowing replay
+    (functions/text.py:winnow_fingerprints + operators/dedup.py:
+    repeated_span_pairs). Gram hash h[i] = sum_j byte[i+j]*257^(k-1-j) mod
+    p with p = 2^55-55 (products HUGEINT-safe, true polynomial hash — the
+    same guarantee the numpy kernel now enforces); fingerprints = distinct
+    sliding-window minima; pairs = posting-list self-join within
+    fingerprint, capped at max_postings docs per fingerprint, kept at
+    >= min_shared shared prints; n_span_partners = per-doc partner count."""
+    from recipeselectors_spark.functions.text import WINNOW_MOD
+
+    k, w = _SPAN_K, _SPAN_WINDOW
+    wpows = [pow(257, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    wp = "[" + ", ".join(str(p) for p in wpows) + "]"
+    base = _fingerprint_oracle()
+    extra_ctes = f""",
+        grams AS (
+          SELECT doc_id,
+            CASE WHEN length(bts) < {k}
+              THEN [{_FNV64.format(bytes="bts")} % {WINNOW_MOD}]
+              ELSE [CAST(list_sum([bts[i+j-1]::HUGEINT * ({wp})[j]
+                            FOR j IN generate_series(1, {k})])
+                         % {WINNOW_MOD} AS HUGEINT)
+                    FOR i IN generate_series(1, length(bts) - {k} + 1)]
+            END AS h
+          FROM t
+        ),
+        winnowed AS (
+          SELECT doc_id,
+            CASE WHEN length(h) < {w} THEN list_distinct(h)
+                 ELSE list_distinct([list_min(h[i:i+{w - 1}])
+                        FOR i IN generate_series(1, length(h) - {w} + 1)])
+            END AS fps
+          FROM grams
+        ),
+        postings AS (
+          SELECT doc_id, unnest(fps) AS wfp FROM winnowed
+        ),
+        capped AS (
+          SELECT doc_id, wfp FROM postings
+          QUALIFY COUNT(*) OVER (PARTITION BY wfp) <= {_SPAN_MAX_POSTINGS}
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b USING (wfp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {_SPAN_MIN_SHARED}
+        ),
+        partners AS (
+          SELECT doc_id, COUNT(*) AS n_span_partners FROM (
+            SELECT id_a AS doc_id FROM pairs
+            UNION ALL SELECT id_b FROM pairs)
+          GROUP BY doc_id
+        )
+    """
+    return base.format(
+        extra_ctes=extra_ctes.rstrip(),
+        extra_cols=", COALESCE(p.n_span_partners, 0) AS n_span_partners",
+        extra_tail="LEFT JOIN partners p USING (doc_id)",
+    )
 
 
 def _media_features_oracle() -> str:
@@ -2831,7 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_oracle(),
         "ivf_ann": _ivf_ann_oracle(),
         "simhash": _simhash_oracle(),
-        "fingerprint": _fingerprint_oracle(),
+        "fingerprint": _fingerprint_spans_oracle(),
         "tree_importance": _TREE_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "token_topk": _TOKEN_TOPK_ORACLE,

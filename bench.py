@@ -50,9 +50,51 @@ def _sf_from_dir(d: str) -> float:
     return float(base.replace("sf", "")) if base.startswith("sf") else -1.0
 
 
-def run_bench() -> None:
+PIPELINE_OPS = ("minhash_pairs", "dedup_corpus", "dedup_clusters", "lsh_ann",
+                "pii_scrub", "token_topk")
+SECTIONS = ("headline", "assembly", "pipeline", "models")
+
+
+def _timed(spark, name: str, fn, runs: int = 2):
+    """Best-of-``runs`` wall time PLUS deterministic plan evidence.
+
+    Wall clock on this box swings 3-7x run-to-run under host contention the
+    guest can't see, so a single timing can't distinguish a plan regression
+    from machine mood. Two independent signals instead: (a) min of ``runs``
+    full executions (the cost of the PLAN, JIT-warm on the later passes the
+    way a long-lived cluster would be), and (b) Spark job + stage counts
+    from the status tracker — a pure function of the physical plan, immune
+    to wall-clock noise; if a query's job count matches last round's, its
+    plan did not regress no matter what the seconds say."""
+    sc = spark.sparkContext
+    best = None
+    jobs = stages = 0
+    for i in range(runs):
+        group = f"bench-{name}-{i}"
+        sc.setJobGroup(group, group)
+        t0 = time.time()
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        tracker = sc.statusTracker()
+        jids = tracker.getJobIdsForGroup(group)
+        infos = [tracker.getJobInfo(j) for j in jids]
+        jobs = len(jids)
+        stages = sum(len(i.stageIds) for i in infos if i is not None)
+    return round(best, 3), jobs, stages
+
+
+def run_bench(sections=None) -> None:
     import __spark_entry__ as entrymod
     from recipeselectors_spark.session import get_spark
+
+    run = set(sections or SECTIONS)
+    bad = run - set(SECTIONS)
+    if bad:
+        raise SystemExit(f"unknown section(s) {sorted(bad)}; pick from {SECTIONS}")
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
@@ -61,103 +103,115 @@ def run_bench() -> None:
     # warm the JVM + parquet footer cache once with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    # best of 2 full passes per query: this box's wall-clock noise is large
-    # (the same query has measured 7 s and 24 s minutes apart under an idle
-    # load average); the min of two runs is the standard way to report the
-    # cost of the PLAN rather than the machine's mood, and the second pass
-    # also runs against a JIT-warm JVM the way a long-lived cluster would
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    job_counts: dict[str, list[int]] = {}
+    total = 0.0
+
+    def timed(section_map, name, fn, runs=2):
+        dt, nj, ns = _timed(spark, name, fn, runs=runs)
+        section_map[name] = dt
+        job_counts[name] = [nj, ns]
+        return dt
+
+    if "headline" in run:
         for name in HEADLINE:
             fn = qs[name]
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()  # force full execution
-            dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-    total = sum(timings.values())
+            total += timed(timings, name, lambda: fn(spark, SF_DIR).count())
 
-    # flagship assembly timing over the events-derived table (sf-scaled)
     from recipeselectors_spark.operators import assembly
     from recipeselectors_spark.sources import transcripts as T
 
-    tx = T.events_as_transcripts(spark, SF_DIR).drop("value")
-    dt = None
-    for _pass in range(2):
-        t0 = time.time()
-        assembly.assemble_features(tx).count()
-        d = time.time() - t0
-        dt = d if dt is None else min(dt, d)
-    timings["assemble_features"] = round(dt, 3)
-    total += dt
+    n_turns = big_dt = None
+    if "assembly" in run:
+        # flagship assembly timing over the events-derived table (sf-scaled)
+        tx = T.events_as_transcripts(spark, SF_DIR).drop("value")
+        total += timed(
+            timings, "assemble_features",
+            lambda: assembly.assemble_features(tx).count(),
+        )
 
-    # turns/sec at a measurement-worthy size: the deterministic distributed
-    # synthesizer at ~4M turns, cached, warm run timed (the events table at
-    # sf<=0.1 is far too small — per-job overhead would dominate)
-    big = T.synthesize_transcripts_distributed(
-        spark, n_convs=100_000, mean_turns=40, seed=42
-    ).cache()
-    big.count()
-    fm = assembly.assemble_features(big)
-    fm.count()  # warm-up
-    t0 = time.time()
-    n_turns = fm.count()
-    dt = time.time() - t0
-    big.unpersist()
-    timings["assemble_4m_turns"] = round(dt, 3)
-    total += dt
+        # turns/sec at a measurement-worthy size: the deterministic
+        # distributed synthesizer at ~4M turns, cached, warm run timed (the
+        # events table at sf<=0.1 is far too small — per-job overhead
+        # would dominate)
+        big = T.synthesize_transcripts_distributed(
+            spark, n_convs=100_000, mean_turns=40, seed=42
+        ).cache()
+        big.count()
+        fm = assembly.assemble_features(big)
+        fm.count()  # warm-up
+        t0 = time.time()
+        n_turns = fm.count()
+        big_dt = time.time() - t0
+        big.unpersist()
+        timings["assemble_4m_turns"] = round(big_dt, 3)
+        total += big_dt
 
     # training-data-pipeline operators, timed but kept OUT of the headline
     # total so `value` stays comparable round-over-round (the headline set
-    # was fixed in round 1)
+    # was fixed in round 1); same best-of-2 + job-count protocol as the
+    # headline, and the cache is dropped first so nothing earlier sections
+    # pinned in executor memory distorts this section
     extra: dict[str, float] = {}
-    for name in ("minhash_pairs", "dedup_corpus", "dedup_clusters", "lsh_ann",
-                 "pii_scrub", "token_topk"):
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        extra[name] = round(time.time() - t0, 3)
+    if "pipeline" in run:
+        spark.catalog.clearCache()
+        for name in PIPELINE_OPS:
+            fn = qs[name]
+            timed(extra, name, lambda: fn(spark, SF_DIR).count())
 
     # iterative REAL-model paths (the driver contract covers their decision
     # layers; these track the RF fit loops themselves so the permutation /
-    # Boruta cost at sf0.1 has a number before a cluster ever sees it)
-    from pyspark.sql import functions as F
+    # Boruta cost at sf0.1 has a number before a cluster ever sees it).
+    # Single-run: one pass is 20-60 s of genuine MLlib fits — doubling the
+    # bench for a best-of-2 isn't worth it when the job count already
+    # proves plan identity.
+    if "models" in run:
+        from pyspark.sql import functions as F
 
-    from recipeselectors_spark.operators import BorutaStep, ForestsStep
+        from recipeselectors_spark.operators import BorutaStep, ForestsStep
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    feat = ev.select(
-        F.col("value").cast("double").alias("value"),
-        F.length("props").cast("double").alias("props_len"),
-        F.when(F.col("event_type") == "purchase", "pos")
-        .otherwise("neg")
-        .alias("y"),
-    )
-    t0 = time.time()
-    ForestsStep(
-        "y", terms=["value", "props_len"], top_p=1,
-        importance="permutation", trees=20, max_depth=5,
-    ).prep(feat)
-    extra["forests_permutation"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    BorutaStep(
-        "y", terms=["value", "props_len"], max_runs=8, trees=20, max_depth=5
-    ).prep(feat)
-    extra["boruta_8runs"] = round(time.time() - t0, 3)
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "pipeline_ops": extra,
-                "sf": _sf_from_dir(SF_DIR),
-                "turns_per_sec": round(n_turns / dt, 1),
-            }
+        spark.catalog.clearCache()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        feat = ev.select(
+            F.col("value").cast("double").alias("value"),
+            F.length("props").cast("double").alias("props_len"),
+            F.when(F.col("event_type") == "purchase", "pos")
+            .otherwise("neg")
+            .alias("y"),
         )
-    )
+        timed(
+            extra, "forests_permutation",
+            lambda: ForestsStep(
+                "y", terms=["value", "props_len"], top_p=1,
+                importance="permutation", trees=20, max_depth=5,
+            ).prep(feat),
+            runs=1,
+        )
+        timed(
+            extra, "boruta_8runs",
+            lambda: BorutaStep(
+                "y", terms=["value", "props_len"], max_runs=8, trees=20,
+                max_depth=5,
+            ).prep(feat),
+            runs=1,
+        )
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "pipeline_ops": extra,
+        # [n_jobs, n_stages] per query from the Spark status tracker —
+        # deterministic plan fingerprints: compare these across rounds to
+        # tell a real plan regression from host wall-clock noise
+        "job_counts": job_counts,
+        "sf": _sf_from_dir(SF_DIR),
+        "sections": sorted(run),
+    }
+    if n_turns is not None:
+        out["turns_per_sec"] = round(n_turns / big_dt, 1)
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -305,10 +359,93 @@ def run_scaling(levels=(2, 8, 32), repeats: int = 2) -> None:
         )
 
 
+def _bench_subprocess(extra_args=()):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, __file__, *extra_args],
+        capture_output=True, text=True, check=True, env=env,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_variance() -> None:
+    """Evidence for the per-section noise question: the FULL driver
+    protocol (all sections, one JVM, driver order) twice, plus the late
+    sections (`pipeline`, `models`) once each in FRESH JVMs. Three things
+    fall out, written to BENCH/VARIANCE.md: (a) per-query spread across
+    identical full runs — pure host noise; (b) fresh-JVM vs late-in-
+    protocol timings for the late sections — whether running 40+ queries
+    first inflates them (GC/heap pressure) or not; (c) job counts, which
+    must be identical everywhere or something is genuinely wrong."""
+    full = [_bench_subprocess() for _ in range(2)]
+    fresh = {
+        s: _bench_subprocess(("--section", s)) for s in ("pipeline", "models")
+    }
+
+    def merged(r):
+        return {**r.get("queries", {}), **r.get("pipeline_ops", {})}
+
+    a, b = merged(full[0]), merged(full[1])
+    rows = []
+    for name in a:
+        lo, hi = sorted([a[name], b[name]])
+        f = merged(fresh["models" if name in (
+            "forests_permutation", "boruta_8runs") else "pipeline"]).get(name)
+        jc = full[0]["job_counts"].get(name)
+        jc_same = all(
+            r["job_counts"].get(name) == jc
+            for r in (full[1], *fresh.values())
+            if name in r["job_counts"]
+        )
+        rows.append((name, lo, hi,
+                     round(hi / lo, 2) if lo > 0 else float("inf"),
+                     f, jc, jc_same))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "VARIANCE.md"), "w") as fh:
+        fh.write(
+            "# BENCH/VARIANCE — per-section spread of the driver protocol\n\n"
+            f"Input: {SF_DIR}, local[{CPUS}]. Protocol: the full bench run\n"
+            "(all sections, one JVM, driver order) executed twice back to\n"
+            "back, plus the late sections (`pipeline`, `models`) once each\n"
+            "in a fresh JVM via `--section`. Headline/pipeline queries are\n"
+            "best-of-2 inside each run; models are single-run (real MLlib\n"
+            "fits). `spread` = max/min across the two full runs — pure\n"
+            "host noise, the plans are byte-identical. `fresh-JVM` shows\n"
+            "whether a late section inflates merely from running after the\n"
+            "full headline passes. `jobs[n,stages]` is the deterministic\n"
+            "plan fingerprint; `same` must be true everywhere.\n\n"
+            "| query | run1 s | run2 s | spread | fresh-JVM s | jobs | same |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for name, lo, hi, ratio, f, jc, jc_same in rows:
+            fh.write(
+                f"| {name} | {lo} | {hi} | {ratio}x | "
+                f"{'—' if f is None else f} | {jc} | {jc_same} |\n"
+            )
+        worst = max(rows, key=lambda r: r[3])
+        fh.write(
+            f"\nWorst spread: **{worst[0]} at {worst[3]}x** between two runs "
+            "of an identical plan — the scale of timing evidence this box "
+            "can produce. Job counts identical across all runs: "
+            f"**{all(r[6] for r in rows)}**.\n"
+        )
+    print(json.dumps({
+        "full_runs": [r["value"] for r in full],
+        "worst_spread": {"query": worst[0], "ratio": worst[3]},
+        "job_counts_identical": all(r[6] for r in rows),
+    }))
+
+
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         _worker(int(sys.argv[sys.argv.index("--worker") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--variance" in sys.argv:
+        run_variance()
+    elif "--section" in sys.argv:
+        run_bench(sections=[sys.argv[sys.argv.index("--section") + 1]])
     else:
         run_bench()

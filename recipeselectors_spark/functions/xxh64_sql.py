@@ -20,8 +20,9 @@ Implementation notes:
   this the expression tree duplicates operands multiplicatively (rotl uses
   x twice, mulmod three times) — the naive emission was 155 KB and ~1 ms
   per hash; the staged form is ~10 KB and ~70 µs (measured on 100k rows).
-* Byte extraction uses ``unicode(s[i])`` per character — exact for ASCII
-  inputs (the synthetic documents tables are ASCII; pinned in tests).
+* Byte extraction UTF-8-encodes each character's codepoint arithmetically
+  (:func:`str_to_bytes_sql`) — exact for ANY Unicode input, not just ASCII;
+  pinned bit-exact against Catalyst on Latin-1/CJK/emoji strings in tests.
 * Verified bit-exact against ``F.xxhash64`` for empty/short/word/int/byte
   tails, 32-byte+ stripes, and multi-argument chaining
   (tests/test_textops.py).
@@ -182,12 +183,30 @@ def xxh64_bytes_sql(bts: str, seed: str = str(SEED)) -> str:
 
 
 def str_to_bytes_sql(s: str) -> str:
-    """ASCII string expression -> byte list (unicode(char) == UTF-8 byte)."""
-    return f"[unicode(({s})[i]) FOR i IN generate_series(1, length({s}))]"
+    """VARCHAR expression -> UTF-8 byte list, exact for ANY Unicode input.
+
+    Each character's codepoint is UTF-8-encoded arithmetically (1-4 bytes
+    by the standard leading-byte/continuation-byte construction) and the
+    per-character lists are flattened. For ASCII this degenerates to the
+    old ``unicode(char)`` form; for multi-byte characters it now matches
+    what Spark hashes (the UTF-8 encoding), closing the documented
+    ASCII-only oracle asterisk — pinned bit-exact on Latin-1/CJK/emoji in
+    tests/test_textops.py."""
+    cp = _fresh("cp")
+    enc = (
+        f"CASE WHEN {cp} < 128 THEN [{cp}]"
+        f" WHEN {cp} < 2048 THEN [192 + {cp} // 64, 128 + {cp} % 64]"
+        f" WHEN {cp} < 65536 THEN [224 + {cp} // 4096,"
+        f" 128 + ({cp} // 64) % 64, 128 + {cp} % 64]"
+        f" ELSE [240 + {cp} // 262144, 128 + ({cp} // 4096) % 64,"
+        f" 128 + ({cp} // 64) % 64, 128 + {cp} % 64] END"
+    )
+    per_char = stage(f"unicode(({s})[i])", cp, enc)
+    return f"flatten([{per_char} FOR i IN generate_series(1, length({s}))])"
 
 
 def xxh64_str_sql(s: str, seed: str = str(SEED)) -> str:
-    """XXH64 of an ASCII VARCHAR expression, unsigned HUGEINT result."""
+    """XXH64 of a VARCHAR expression (any Unicode), unsigned HUGEINT result."""
     return stage(str_to_bytes_sql(s), _bind := _fresh("bts"), xxh64_bytes_sql(_bind, seed))
 
 

@@ -374,6 +374,76 @@ def test_sliced_cogroup_guards(spark, frames):
         asof.asof_join_cogroup_sliced(
             s, f, ["v1"], tolerance_s=600, slice_s=300
         )
+    with pytest.raises(ValueError, match="nearest"):
+        asof.asof_join_cogroup_sliced(
+            s, f, ["v1"], tolerance_s=600, direction="nearest"
+        )
+
+
+@pytest.mark.parametrize("slice_s", [600, 1800])
+def test_sliced_cogroup_forward(spark, frames, slice_s):
+    """direction='forward' slicing (feature replicated to floor((t-tol)/W)
+    instead of floor((t+tol)/W)): identical to the unsliced forward join
+    at multiple widths."""
+    spine, features = frames
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(features)
+    want = asof.asof_join_cogroup(
+        s, f, ["v1", "v2"], tolerance_s=600, num_shards=4,
+        direction="forward",
+    ).toPandas()
+    got = asof.asof_join_cogroup_sliced(
+        s, f, ["v1", "v2"], tolerance_s=600, slice_s=slice_s, num_shards=4,
+        direction="forward",
+    ).toPandas()
+    _check(got, want)
+
+
+def test_cogroup_auto_slices_pathological_conversation(spark, monkeypatch):
+    """A conversation above max_conv_rows routes asof_join_cogroup to the
+    sliced implementation UNPROMPTED (VERDICT r4 #6) — same rows out — and
+    raises a clear error when no finite tolerance makes slicing possible."""
+    import warnings as W
+
+    n = 400
+    spine = pd.DataFrame({
+        "conv_id": ["giant"] * n + ["tiny"],
+        "ts": pd.to_datetime(list(range(1, n + 1)) + [5], unit="s"),
+    })
+    feats = pd.DataFrame({
+        "conv_id": ["giant", "tiny"],
+        "ts": pd.to_datetime([0, 3], unit="s"),
+        "v": [1.0, 2.0],
+    })
+    s, f = spark.createDataFrame(spine), spark.createDataFrame(feats)
+
+    calls = []
+    real_sliced = asof.asof_join_cogroup_sliced
+
+    def spy(*a, **kw):
+        calls.append(kw.get("direction", "backward"))
+        return real_sliced(*a, **kw)
+
+    monkeypatch.setattr(asof, "asof_join_cogroup_sliced", spy)
+    with W.catch_warnings():
+        W.simplefilter("ignore", RuntimeWarning)  # the size warning — expected
+        out = asof.asof_join_cogroup(
+            s, f, ["v"], tolerance_s=10, num_shards=4, max_conv_rows=100
+        )
+        assert calls == ["backward"]          # took the sliced path unprompted
+        assert out.count() == n + 1
+        # no finite tolerance -> slicing impossible -> loud error, not an OOM
+        with pytest.raises(RuntimeError, match="max_conv_rows"):
+            asof.asof_join_cogroup(
+                s, f, ["v"], num_shards=4, max_conv_rows=100
+            )
+        # explicit opt-out keeps the old single-group behavior
+        assert (
+            asof.asof_join_cogroup(
+                s, f, ["v"], num_shards=4, max_conv_rows=100, auto_slice=False
+            ).count()
+            == n + 1
+        )
+        assert calls == ["backward"]          # opt-out never sliced
 
 
 def test_sliced_cogroup_zero_tolerance(spark, frames):
