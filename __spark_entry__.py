@@ -590,17 +590,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(kept, "text_hash")
 
 
+_CHUNK_TOKENS = 16
+_CHUNK_OVERLAP = 4
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count, char count, and the regex BPE-ish
-    pre-tokenizer count (functions/text.py) in one pass — all JVM-side."""
+    pre-tokenizer count (functions/text.py) in one pass — all JVM-side.
+    Merged r5 (50-slot contract): document CHUNKING content-pinned per doc
+    — ``n_chunks`` and an md5 over the '|'-joined chunk texts
+    (operators/sampling.py:chunk_array at max_tokens=16, overlap=4 — small
+    budget so the ~50-token docs genuinely split and overlap carry is
+    exercised); the oracle recomputes the chunk lists in SQL."""
     from recipeselectors_spark.functions import text as TX
+    from recipeselectors_spark.operators.sampling import chunk_array
 
+    chunks = chunk_array("text", _CHUNK_TOKENS, _CHUNK_OVERLAP)
     docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars_computed"),
         TX.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+        F.size(chunks).cast("bigint").alias("n_chunks"),
+        F.md5(F.concat_ws("|", chunks)).alias("chunks_md5"),
     )
 
 
@@ -737,16 +750,24 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-quality signals in one pure-Catalyst pass: the composite
     quality heuristic (length/word-length/punctuation/stopword bands),
     Gopher-style repetition ratios (1 - distinct/total for unigrams and
-    word-2-grams), and the stopword-vote language-ID."""
+    word-2-grams), the stopword-vote language-ID, AND (merged r5 — the
+    50-slot contract) the full Gopher/C4 quality FILTER decision
+    (operators/quality_filter.py at default QualityRules): ``kept`` plus
+    the ordered per-rule ``drop_reasons`` as a comma-joined string. The
+    oracle recomputes every rule threshold from raw signals in SQL."""
     from recipeselectors_spark.functions import text as TX
+    from recipeselectors_spark.operators.quality_filter import quality_flags
 
     uni, bi = TX.repetition_ratios("text")
-    return _documents(spark, sf_dir).select(
+    flagged = quality_flags(_documents(spark, sf_dir))
+    return flagged.select(
         "doc_id",
         F.round(TX.quality_score("text"), ROUND).alias("quality"),
         F.round(uni, ROUND).alias("rep_unigram"),
         F.round(bi, ROUND).alias("rep_bigram"),
         TX.langid_expr("text").alias("lang_pred"),
+        "kept",
+        F.concat_ws(",", "drop_reasons").alias("drop_reasons_str"),
     )
 
 
@@ -1752,14 +1773,34 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH + exact verify."""
+    """Embedding-cosine near-dup pairs via hyperplane-LSH + exact verify,
+    PLUS (merged r5 — 50-slot contract) the semantic-dedup component
+    layer: ``cluster`` labels each pair with the connected-component
+    minimum of its endpoints (operators/dedup.py:connected_components —
+    the grouping semantic_dedup keeps one representative per). The oracle
+    recomputes the components with a recursive transitive-closure CTE over
+    the same verified pair graph."""
     from recipeselectors_spark.operators import dedup as D
 
     # random test embeddings have no true near-dups at high thresholds;
     # 0.3 exercises the LSH-candidate + exact-verify path with real output
-    return D.embedding_near_dup_pairs(
+    pairs = D.embedding_near_dup_pairs(
         _embeddings(spark, sf_dir), threshold=0.3, n_planes=6, bands=6
-    ).withColumn("cosine", F.round("cosine", 5))
+    )
+    verts = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    comp = D.connected_components(pairs, verts, id_col="vec_id")
+    return (
+        pairs.join(comp, pairs.id_a == comp.vec_id)
+        .select(
+            "id_a", "id_b",
+            F.round("cosine", 5).alias("cosine"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+    )
 
 
 _SPAN_K = 16
@@ -1879,7 +1920,7 @@ def _embedding_dedup_oracle() -> str:
     banded = _banded_sql(n_planes=6, bands=6, seed=42, stride=31)
     cos = _COS.format(a="ea.emb", b="eb.emb")
     return f"""
-        WITH e AS (
+        WITH RECURSIVE e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         ),
         banded AS ({banded}),
@@ -1893,9 +1934,22 @@ def _embedding_dedup_oracle() -> str:
           FROM cand
           JOIN e ea ON ea.vec_id = cand.id_a
           JOIN e eb ON eb.vec_id = cand.id_b
-        )
-        SELECT id_a, id_b, ROUND(cosine, 5) AS cosine
-        FROM scored WHERE cosine >= 0.3
+        ),
+        kept AS (
+          SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM kept
+          UNION ALL SELECT id_b, id_a FROM kept
+        ),
+        reach(a, b) AS (
+          SELECT s, s FROM sym
+          UNION
+          SELECT r.a, eg.d FROM reach r JOIN sym eg ON eg.s = r.b
+        ),
+        lab AS (SELECT a AS v, MIN(b) AS cluster FROM reach GROUP BY a)
+        SELECT id_a, id_b, ROUND(cosine, 5) AS cosine, lab.cluster
+        FROM kept JOIN lab ON lab.v = kept.id_a
     """
 
 
@@ -2835,12 +2889,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT text_hash, keep_doc_id, n_copies, kept_doc_id
             FROM agg JOIN kept USING (text_hash)
         """,
-        "token_counts": r"""
+        "token_counts": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS rtoks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                [array_to_string(
+                   rtoks[s + 1 : s + {_CHUNK_TOKENS}], ' ')
+                 FOR s IN generate_series(0,
+                   greatest(length(rtoks) - {_CHUNK_OVERLAP} - 1, 0),
+                   {_CHUNK_TOKENS - _CHUNK_OVERLAP})] AS chunks
+              FROM t
+            )
             SELECT doc_id, length(string_split(text, ' ')) AS n_tokens,
                    length(text) AS n_chars_computed,
                    length(regexp_extract_all(text,
-                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
-            FROM documents
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                   length(chunks) AS n_chunks,
+                   md5(array_to_string(chunks, '|')) AS chunks_md5
+            FROM t JOIN c USING (doc_id)
         """,
         "text_quality": f"""
             WITH t AS (
@@ -2928,10 +2998,43 @@ def oracle_sql() -> dict[str, str]:
                      length(text) AS n_chars,
                      length(text) - length(regexp_replace(text,
                        '[^\\w\\s]', '', 'g')) AS n_punct,
+                     length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                       AS n_nonspace,
                      length(list_filter(ltoks, t -> list_contains(
                        ['the','a','and','of','to','in','is','it','that','for'],
-                       t))) AS stop_hits
+                       t))) AS stop_hits,
+                     -- RAW (unrounded) repetition ratios for the rule
+                     -- thresholds: the reported rep_* columns are rounded,
+                     -- and a boundary value must compare like Spark's raw
+                     1.0 - length(list_distinct(ltoks))
+                         / greatest(length(ltoks), 1) AS uni_raw,
+                     1.0 - CASE WHEN length(ltoks) >= 2
+                         THEN length(list_distinct(
+                                [array_to_string(ltoks[i:i+1], ' ')
+                                 FOR i IN generate_series(1, length(ltoks)-1)]))
+                              / greatest(length(ltoks) - 1, 1)
+                         ELSE length(list_distinct(ltoks))
+                              / greatest(length(ltoks), 1) END AS bi_raw
               FROM t
+            ),
+            flags AS (
+              SELECT m.doc_id,
+                list_filter([
+                  CASE WHEN n_tok < 50 THEN 'too_few_tokens' END,
+                  CASE WHEN n_tok > 100000 THEN 'too_many_tokens' END,
+                  CASE WHEN n_punct / greatest(n_chars, 1) > 0.20
+                       THEN 'punct_ratio' END,
+                  CASE WHEN stop_hits / greatest(n_tok, 1) < 0.02
+                       THEN 'stopword_ratio' END,
+                  CASE WHEN uni_raw > 0.40 THEN 'rep_unigram' END,
+                  CASE WHEN bi_raw > 0.30 THEN 'rep_bigram' END,
+                  CASE WHEN n_nonspace / greatest(n_tok, 1) < 2.0
+                       THEN 'mean_word_len_low' END,
+                  CASE WHEN n_nonspace / greatest(n_tok, 1) > 12.0
+                       THEN 'mean_word_len_high' END,
+                  CASE WHEN lg.lang_pred != 'en' THEN 'language' END
+                ], x -> x IS NOT NULL) AS reasons
+              FROM m JOIN ({_langid_oracle()}) lg USING (doc_id)
             )
             SELECT doc_id, rr.rep_unigram, rr.rep_bigram, lg.lang_pred,
               ROUND(
@@ -2944,10 +3047,13 @@ def oracle_sql() -> dict[str, str]:
                   THEN 1.0 ELSE 0.0 END) * 0.25
               + (CASE WHEN stop_hits / greatest(n_tok, 1) > 0.005
                   THEN 1.0 ELSE 0.0 END) * 0.25,
-              {ROUND}) AS quality
+              {ROUND}) AS quality,
+              length(fl.reasons) = 0 AS kept,
+              array_to_string(fl.reasons, ',') AS drop_reasons_str
             FROM m
             JOIN ({_REPETITION_ORACLE}) rr USING (doc_id)
             JOIN ({_langid_oracle()}) lg USING (doc_id)
+            JOIN flags fl ON fl.doc_id = m.doc_id
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

@@ -278,14 +278,18 @@ def embedding_near_dup_pairs(
     bands: int = 4,
     seed: int = 42,
     max_bucket: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     generate candidates (pure Catalyst sign-signatures, one explode+shuffle),
     exact cosine verifies within buckets — the vector analogue of
-    MinHash-LSH, never materializing the n² pair space."""
+    MinHash-LSH, never materializing the n² pair space. ``dim`` (embedding
+    width) is probed with one single-row job when not given — pass it to
+    make the call fully lazy."""
     from recipeselectors_spark.operators import similarity as S
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     renamed = df.select(id_col, F.col(vec_col).alias("__v__"))
     # planes ship as one broadcast array column (codegen-safe at dim 768+),
     # all bands in a single pass — see similarity.with_band_buckets.

@@ -233,6 +233,35 @@ def mixture_sample(
     return out
 
 
+def chunk_array(
+    text_col: str, max_tokens: int, overlap: int
+) -> Column:
+    """The chunk list as a Column (pre-explode form of
+    :func:`chunk_documents`) — also used by the driver oracle to pin chunk
+    CONTENT per document without changing a query's row universe.
+
+    Start indices run 0, step, 2*step, ... capped at ``n - overlap - 1``
+    (not ``n - 1``): a start ``s`` with ``s + overlap >= n`` would emit a
+    chunk fully contained in the previous one (which already covers
+    through ``s + overlap``), duplicating corpus text; for
+    ``n <= max_tokens`` the first non-zero start (= step) already exceeds
+    the bound, so short docs still yield exactly one chunk."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap={overlap} < max_tokens={max_tokens}")
+    from recipeselectors_spark.functions import text as TX
+
+    step = max_tokens - overlap
+    toks = TX.tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -250,25 +279,7 @@ def chunk_documents(
     ``n_chunks``; short documents pass through as their own single chunk.
     Chunk boundaries are whitespace-token aligned (a tokenizer-exact
     variant would swap in the BPE-ish regex tokens)."""
-    if not 0 <= overlap < max_tokens:
-        raise ValueError(f"need 0 <= overlap={overlap} < max_tokens={max_tokens}")
-    from recipeselectors_spark.functions import text as TX
-
-    step = max_tokens - overlap
-    toks = TX.tokens(F.col(text_col))
-    n = F.size(toks)
-    # upper bound n-overlap-1 (not n-1): a start s with s+overlap >= n would
-    # emit a chunk fully contained in the previous one (which already covers
-    # through s+overlap), duplicating corpus text; for n <= max_tokens the
-    # first reachable non-zero start (= step) already exceeds the bound, so
-    # short docs still yield exactly one chunk
-    starts = F.sequence(
-        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)),
-    )
+    chunks = chunk_array(text_col, max_tokens, overlap)
     out_cols = [c for c in df.columns if c != text_col]
     return (
         df.withColumn("__chunks__", chunks)

@@ -30,6 +30,11 @@ Parity ledger vs the R Boruta package (what is pinned, what cannot be):
   features are decided, and the ``extras["imp_history"]`` analogue of
   Boruta's ImpHistory (one row per run: every real importance + that run's
   max shadow importance).
+* ARTIFACT (r5): the per-run (importances, max-shadow) stream from the
+  REAL RF path is emitted as a committed golden file
+  (tests/golden/boruta_imphistory.json) and an independent exact-rational
+  ``TestFeatures`` replay re-derives the decisions from that stream alone
+  (tests/test_select_models.py::test_boruta_imphistory_golden_artifact).
 * NOT pinnable without R in this environment: the per-run importance VALUES
   themselves. The reference test pins exact ``exclude`` + ImpHistory under
   ``set.seed`` (tests/testthat/test_step_select_boruta.R:12-29), but those

@@ -157,16 +157,21 @@ def lsh_ann_topk(
     n_planes: int = 8,
     bands: int = 2,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a random-hyperplane band bucket.
 
     ``bands`` independent sign-signatures are computed (each ``n_planes``
     bits); a corpus vector is a candidate for a query if ANY band matches —
     recall grows with bands, cost with bucket size.
+
+    ``dim`` (the embedding width) is probed with one single-row job when
+    not given — pass it to make the call fully lazy.
     """
     from pyspark.sql.window import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
         renamed = df.select(F.col(idc), F.col(vec_col).alias(f"__vec_{idc}__"))
