@@ -1,0 +1,88 @@
+"""Small-file compaction — the table-maintenance pass every 100 TB lake
+needs.
+
+Streaming ingest, per-shard checkpoint jobs (sources/checkpoint.py), and
+fine-grained day partitions all produce many small parquet files; at scale
+that multiplies scan tasks, parquet footer reads, and driver file-listing
+time. Compaction rewrites a dataset into files near a target size — the
+same maintenance Iceberg's ``rewrite_data_files`` performs, expressed on
+plain parquet directories with Spark primitives.
+
+Sizing is measured, not guessed: the source's actual on-disk bytes (from
+the files Spark would scan, via ``inputFiles()``) divide by the target to
+give the output file count. ``repartition(n)`` (round-robin) spreads rows
+evenly — uniform file sizes at the cost of one shuffle; ``coalesce`` is
+offered for the shrink-only case where a shuffle is too expensive and
+skewed file sizes are acceptable (coalesce merges existing partitions
+without moving data between executors).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dataset_bytes(spark: SparkSession, df: DataFrame) -> tuple[int, int]:
+    """(total bytes, file count) of the files backing ``df`` — the real
+    on-disk footprint, resolved through the Hadoop FileSystem so it works
+    on any supported scheme (local, HDFS, s3a)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    files = df.inputFiles()
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    return total, len(files)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+    strategy: str = "repartition",
+    compression: str | None = None,
+) -> dict:
+    """Rewrite the parquet dataset at ``src`` into ``dst`` with files
+    sized toward ``target_file_mb``. Returns a report dict (bytes, file
+    counts before/after, chosen partition count).
+
+    ``strategy='repartition'`` (default): round-robin shuffle — even file
+    sizes, safe for skewed inputs. ``'coalesce'``: no shuffle, only merges
+    scan partitions — cheaper, but file sizes follow the input layout.
+    ``dst`` must differ from ``src`` (a self-overwrite would delete the
+    input mid-read)."""
+    norm = lambda p: os.path.normpath(urlparse(p).path or p)  # noqa: E731
+    if norm(src) == norm(dst):
+        raise ValueError(
+            f"dst={dst!r} must differ from src — Spark cannot overwrite a "
+            "dataset it is reading; write beside it and swap directories"
+        )
+    if strategy not in ("repartition", "coalesce"):
+        raise ValueError(f"unknown strategy={strategy!r}")
+
+    df = spark.read.parquet(src)
+    total, n_files_before = dataset_bytes(spark, df)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_out) if strategy == "repartition" else df.coalesce(n_out)
+    writer = out.write.mode("overwrite")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.parquet(dst)
+
+    after = spark.read.parquet(dst)
+    total_after, n_files_after = dataset_bytes(spark, after)
+    return {
+        "bytes_before": total,
+        "files_before": n_files_before,
+        "bytes_after": total_after,
+        "files_after": n_files_after,
+        "partitions": n_out,
+        "strategy": strategy,
+    }

@@ -234,3 +234,65 @@ def test_streaming_near_dup_flags(spark, tmp_path):
     assert "c1" in flagged.get("s-dup1", set())
     assert "c3" in flagged.get("s-dup3", set())
     assert "s-clean1" not in flagged and "s-clean2" not in flagged
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    """streaming_quality_filter: the stateless Gopher/C4 gate runs on a
+    real streaming query — a good document passes, a too-short and a
+    gibberish (no-stopword) document are dropped; keep_reasons mode
+    surfaces the per-rule reasons instead of dropping."""
+    from recipeselectors_spark.operators.quality_filter import QualityRules
+    from recipeselectors_spark.streaming import streaming_quality_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs to "
+        "the river where it drinks some water before it sleeps for a while "
+        "in the warm afternoon sun near the old barn by the field"
+    )
+    short = "too short"
+    salad = " ".join(f"zxq{i}" for i in range(60))  # long but zero stopwords
+    d = tmp_path / "qdocs"
+    d.mkdir()
+    schema = "doc_id string, text string"
+    spark.createDataFrame(
+        pd.DataFrame(
+            [("good", good), ("short", short), ("salad", salad)],
+            columns=["doc_id", "text"],
+        ),
+        schema=schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "b0"))
+
+    stream = spark.readStream.schema(schema).parquet(str(d / "b*"))
+    rules = QualityRules(min_tokens=20, max_pii=None)
+    out = streaming_quality_filter(stream, rules=rules)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM quality_stream").toPandas()
+    assert got["doc_id"].tolist() == ["good"]
+    assert set(got.columns) == {"doc_id", "text"}  # flags dropped
+
+    flagged = streaming_quality_filter(stream, rules=rules, keep_reasons=True)
+    q2 = (
+        flagged.writeStream.format("memory")
+        .queryName("quality_stream_flagged")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    fl = (
+        spark.sql("SELECT * FROM quality_stream_flagged")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(fl.loc["good", "kept"]) is True
+    assert "too_few_tokens" in fl.loc["short", "drop_reasons"]
+    assert "stopword_ratio" in fl.loc["salad", "drop_reasons"]
