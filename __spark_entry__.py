@@ -746,6 +746,9 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+LM_TOP_V = 20
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-quality signals in one pure-Catalyst pass: the composite
     quality heuristic (length/word-length/punctuation/stopword bands),
@@ -754,12 +757,20 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-slot contract) the full Gopher/C4 quality FILTER decision
     (operators/quality_filter.py at default QualityRules): ``kept`` plus
     the ordered per-rule ``drop_reasons`` as a comma-joined string. The
-    oracle recomputes every rule threshold from raw signals in SQL."""
+    oracle recomputes every rule threshold from raw signals in SQL.
+    ALSO merged r5: ``lm_score`` drives the REAL unigram-LM quality
+    operator (operators/lm_quality.py — KenLM-lite, self-scored at
+    top_v=LM_TOP_V=20 so the vocabulary cut and the OOV floor both fire
+    on this 31-token corpus); the oracle refits the smoothed model and
+    the per-doc mean log2 probability entirely in SQL."""
     from recipeselectors_spark.functions import text as TX
+    from recipeselectors_spark.operators import lm_quality
     from recipeselectors_spark.operators.quality_filter import quality_flags
 
+    docs = _documents(spark, sf_dir)
     uni, bi = TX.repetition_ratios("text")
-    flagged = quality_flags(_documents(spark, sf_dir))
+    flagged = quality_flags(docs)
+    lm = lm_quality.lm_quality_scores(docs, top_v=LM_TOP_V, alpha=1.0)
     return flagged.select(
         "doc_id",
         F.round(TX.quality_score("text"), ROUND).alias("quality"),
@@ -768,6 +779,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.langid_expr("text").alias("lang_pred"),
         "kept",
         F.concat_ws(",", "drop_reasons").alias("drop_reasons_str"),
+    ).join(
+        lm.select("doc_id", F.round("lm_score", ROUND).alias("lm_score")),
+        "doc_id",
     )
 
 
@@ -1311,13 +1325,22 @@ def _pii_scrub_oracle() -> str:
     """
 
 
+_HH_SUPPORT = 0.004
+
+
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency top-50 (explode -> map-side-combined
-    count -> TakeOrdered): the classic corpus-stats pass."""
+    count -> TakeOrdered): the classic corpus-stats pass. Merged r5
+    (50-slot contract): ``hh_count`` drives the REAL
+    sketch.frequent_tokens operator — per-partition mergeable Misra-Gries
+    candidates + exact recount — at support 0.4%; the oracle recomputes
+    the threshold from plain GROUP BY/HAVING, so a candidate ever LOST by
+    the Misra-Gries guarantee would hash-mismatch here."""
     from recipeselectors_spark.functions import text as TX
+    from recipeselectors_spark.operators import sketch
 
     docs = _documents(spark, sf_dir)
-    return (
+    topk = (
         docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
@@ -1325,15 +1348,28 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(50)
     )
-
-
-_TOKEN_TOPK_ORACLE = """
-    SELECT token, COUNT(*) AS n FROM (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
-      FROM documents
+    hh = sketch.frequent_tokens(docs, support=_HH_SUPPORT).withColumnRenamed(
+        "count", "hh_count"
     )
-    WHERE token != ''
-    GROUP BY token
+    return topk.join(hh, "token", "left").select(
+        "token", "n", F.col("hh_count").cast("bigint").alias("hh_count")
+    )
+
+
+_TOKEN_TOPK_ORACLE = f"""
+    WITH tt AS (
+      SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+      )
+      WHERE token != ''
+      GROUP BY token
+    ),
+    tot AS (SELECT SUM(n) AS s FROM tt)
+    SELECT token, n,
+           CASE WHEN n >= {_HH_SUPPORT} * (SELECT s FROM tot)
+                THEN n END AS hh_count
+    FROM tt
     ORDER BY n DESC, token
     LIMIT 50
 """
@@ -3035,6 +3071,29 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lg.lang_pred != 'en' THEN 'language' END
                 ], x -> x IS NOT NULL) AS reasons
               FROM m JOIN ({_langid_oracle()}) lg USING (doc_id)
+            ),
+            -- unigram-LM refit (operators/lm_quality.py, alpha=1,
+            -- top_v={LM_TOP_V}): p(t) = (c+1)/(N+V+1) over the kept
+            -- vocabulary, OOV bucket 1/(N+V+1); score = mean log2 p
+            lmtok AS (
+              SELECT doc_id, unnest(ltoks) AS tok FROM t
+            ),
+            lmtok2 AS (SELECT doc_id, tok FROM lmtok WHERE tok != ''),
+            lmkept AS (
+              SELECT tok, COUNT(*) AS c FROM lmtok2 GROUP BY tok
+              ORDER BY c DESC, tok LIMIT {LM_TOP_V}
+            ),
+            lmconst AS (
+              SELECT SUM(c)::DOUBLE + COUNT(*)::DOUBLE + 1.0 AS denom
+              FROM lmkept
+            ),
+            lmscore AS (
+              SELECT doc_id,
+                     AVG(COALESCE(
+                       log2((k.c + 1.0) / (SELECT denom FROM lmconst)),
+                       log2(1.0 / (SELECT denom FROM lmconst)))) AS lm
+              FROM lmtok2 LEFT JOIN lmkept k USING (tok)
+              GROUP BY doc_id
             )
             SELECT doc_id, rr.rep_unigram, rr.rep_bigram, lg.lang_pred,
               ROUND(
@@ -3049,11 +3108,14 @@ def oracle_sql() -> dict[str, str]:
                   THEN 1.0 ELSE 0.0 END) * 0.25,
               {ROUND}) AS quality,
               length(fl.reasons) = 0 AS kept,
-              array_to_string(fl.reasons, ',') AS drop_reasons_str
+              array_to_string(fl.reasons, ',') AS drop_reasons_str,
+              ROUND(COALESCE(ls.lm,
+                log2(1.0 / (SELECT denom FROM lmconst))), {ROUND}) AS lm_score
             FROM m
             JOIN ({_REPETITION_ORACLE}) rr USING (doc_id)
             JOIN ({_langid_oracle()}) lg USING (doc_id)
             JOIN flags fl ON fl.doc_id = m.doc_id
+            LEFT JOIN lmscore ls ON ls.doc_id = m.doc_id
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

@@ -27,6 +27,7 @@ and affects balance only, never shard membership.
 
 from __future__ import annotations
 
+import math
 import warnings
 
 import pandas as pd
@@ -181,7 +182,11 @@ def hot_conv_shards(
     out = pd.DataFrame(
         {on: hot[on].tolist(), "shard": [num_shards + i for i in range(len(hot))]}
     )
-    out.attrs["max_conv_rows"] = int(max_n * scale)
+    # ceil, not int(): the warning above fires on max_n*scale > budget, and
+    # the auto-slice dispatch in asof_join_cogroup compares this attr to
+    # the same budget — flooring a fractional sampled estimate could warn
+    # without dispatching
+    out.attrs["max_conv_rows"] = math.ceil(max_n * scale)
     return out
 
 

@@ -34,9 +34,11 @@ def dataset_bytes(spark: SparkSession, df: DataFrame) -> tuple[int, int]:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     total = 0
     files = df.inputFiles()
+    fs = None
     for f in files:
         p = jvm.org.apache.hadoop.fs.Path(f)
-        fs = p.getFileSystem(hconf)
+        if fs is None:  # one FileSystem handle; all files share the scheme
+            fs = p.getFileSystem(hconf)
         total += fs.getFileStatus(p).getLen()
     return total, len(files)
 
