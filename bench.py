@@ -274,21 +274,53 @@ def _worker(cpus: int) -> None:
     spark.stop()
 
 
-def run_scaling(levels=(2, 8, 32), repeats: int = 2) -> None:
-    _ensure_scale_input()
+def _run_reaped(args: list[str]) -> str:
+    """Run a bench subprocess in ITS OWN process group and kill the whole
+    group once it returns. A Spark JVM whose shutdown RPC times out
+    survives ``spark.stop()`` AND its parent's exit (observed here: the
+    scale-input generator's JVM spun at ~1.2 cores for 80 minutes,
+    polluting every timed worker that followed) — the group kill reaps
+    any such straggler before the next measurement starts."""
+    import signal
+
+    proc = subprocess.Popen(
+        args, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, start_new_session=True,
+    )
+    out, _ = proc.communicate()
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+    if proc.returncode != 0:
+        raise RuntimeError(f"{args} exited {proc.returncode}")
+    return out
+
+
+def run_scaling(levels=(2, 8, 32), repeats: int | None = None) -> None:
+    if repeats is None:
+        # host contention can suppress a whole run (observed: the 32-core
+        # level measuring slower ABSOLUTE time than 8-core — impossible
+        # for the plan, diagnostic of starved host CPUs); more repeats
+        # per level = more chances to catch a clean window, min is kept
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    if not os.path.exists(os.path.join(SCALE_INPUT, "_SUCCESS")):
+        _run_reaped([sys.executable, __file__, "--gen-scale-input"])
+    # repeats are INTERLEAVED across levels (round-robin), not run
+    # back-to-back per level: a multi-minute host-contention window then
+    # degrades at most one sample of each level instead of every sample
+    # of one level (observed: all-repeats-of-32-cores landing in one
+    # starved stretch and reading slower than 8 cores in absolute time)
     results = {}
-    for cpus in levels:
-        best = None
-        for _ in range(repeats):
-            out = subprocess.run(
-                [sys.executable, __file__, "--worker", str(cpus)],
-                capture_output=True, text=True, check=True,
+    for _ in range(repeats):
+        for cpus in levels:
+            out = _run_reaped(
+                [sys.executable, __file__, "--worker", str(cpus)]
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        results[cpus] = best
+            if cpus not in results or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
 
     thr = {c: results[c]["turns"] / results[c]["sec"] for c in levels}
     pairs = [
@@ -439,7 +471,9 @@ def run_variance() -> None:
 
 
 if __name__ == "__main__":
-    if "--worker" in sys.argv:
+    if "--gen-scale-input" in sys.argv:
+        _ensure_scale_input()
+    elif "--worker" in sys.argv:
         _worker(int(sys.argv[sys.argv.index("--worker") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()

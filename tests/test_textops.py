@@ -1069,15 +1069,16 @@ def test_winnow_guarantee_property(spark):
     check()
 
 
-def test_full_corpus_pipeline_end_to_end(spark):
+def test_full_corpus_pipeline_end_to_end(spark, tmp_path):
     """The whole training-data story composed on the real documents table:
-    quality filter -> exact dedup -> near-dup cluster dedup ->
-    decontaminate -> chunk -> pack -> grouped train/val split. Pins the
-    invariants a production pipeline needs: monotone shrinkage through the
-    cleaning stages, chunk token bounds, split disjointness/exhaustiveness
-    with whole-document grouping."""
+    quality filter -> LM quality scoring -> exact dedup -> near-dup
+    cluster dedup -> decontaminate -> chunk -> pack -> grouped train/val
+    split -> compacted write. Pins the invariants a production pipeline
+    needs: monotone shrinkage through the cleaning stages, chunk token
+    bounds, split disjointness/exhaustiveness with whole-document
+    grouping, heavy-hitter vocabulary sanity, bounded output files."""
     from recipeselectors_spark.functions import text as TX
-    from recipeselectors_spark.operators import sampling as S
+    from recipeselectors_spark.operators import lm_quality, sampling as S, sketch
     from recipeselectors_spark.operators.quality_filter import (
         QualityRules, quality_filter,
     )
@@ -1092,6 +1093,26 @@ def test_full_corpus_pipeline_end_to_end(spark):
     clean = quality_filter(docs, rules=rules)
     n1 = clean.count()
     assert 0 < n1 <= n0
+
+    # 1b. LM quality scoring (self-scored): every kept doc gets a finite
+    # score; an absolute floor at the OOV level would drop nothing here
+    # (real docs are made of in-vocabulary tokens)
+    vocab, oov, stats = lm_quality.fit_unigram_lm(clean, top_v=1000)
+    scored = lm_quality.unigram_logprob_score(clean, vocab, oov)
+    assert scored.where(F.col("lm_score").isNull()).count() == 0
+    assert scored.where(F.col("lm_score") <= oov).count() == 0
+    clean = clean.join(scored.where(F.col("lm_score") > oov), "doc_id",
+                       "left_semi")
+    assert clean.count() == n1
+
+    # 1c. heavy-hitter vocabulary sanity: every token at >= 2% support is
+    # found with its exact count by the Misra-Gries two-phase operator
+    hh = sketch.frequent_tokens(clean, support=0.02).collect()
+    total_toks = clean.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("t")
+    ).where("t != ''").count()
+    assert len(hh) > 0
+    assert all(r["count"] >= 0.02 * total_toks for r in hh)
 
     # 2. exact + near-dup cluster dedup (keeps one rep per true cluster)
     deduped = dedup.dedup_corpus_clusters(clean, threshold=0.8)
@@ -1128,3 +1149,17 @@ def test_full_corpus_pipeline_end_to_end(spark):
     counts = {r["split"]: r["count"]
               for r in split.groupBy("split").count().collect()}
     assert set(counts) <= {"train", "val"} and counts.get("train", 0) > 0
+
+    # 6. land the result as small files, then compact to the target size
+    from recipeselectors_spark.sources import compaction
+
+    raw_dir = str(tmp_path / "landed")
+    split.repartition(8).write.parquet(raw_dir)
+    report = compaction.compact_parquet(
+        spark, raw_dir, str(tmp_path / "compacted"), target_file_mb=128
+    )
+    assert report["files_after"] < report["files_before"]
+    assert (
+        spark.read.parquet(str(tmp_path / "compacted")).count()
+        == split.count()
+    )
