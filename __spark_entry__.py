@@ -617,16 +617,37 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "spark window merge"
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-quality scalars PLUS the BM25 relevance score against a
+    fixed keyword query (the 50-slot contract merges related per-doc
+    checks). The BM25 column drives operators/bm25.py end-to-end — inverted
+    index, document frequencies, N/avgdl corpus stats, Lucene-form idf —
+    and the oracle recomputes all of it from the raw table (no baked
+    constants; docs with no query-term overlap score 0)."""
+    from recipeselectors_spark.operators import bm25 as B25
+
     docs = _documents(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
-    return docs.select(
-        "doc_id",
-        F.round(stop / F.size(toks), ROUND).alias("stopword_ratio"),
-        F.round(
-            (F.length("text") - F.size(toks) + 1) / F.size(toks), ROUND
-        ).alias("avg_word_len"),
+    qdf = spark.createDataFrame([("q", _BM25_QUERY)], ["q_id", "query"])
+    scores = B25.bm25_scores(docs, qdf).select(
+        "doc_id", F.col("bm25").alias("__bm25__")
+    )
+    return (
+        docs.join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(stop / F.size(toks), ROUND).alias("stopword_ratio"),
+            F.round(
+                (F.length("text") - F.size(toks) + 1) / F.size(toks), ROUND
+            ).alias("avg_word_len"),
+            F.round(F.coalesce("__bm25__", F.lit(0.0)), ROUND).alias(
+                "bm25_fixed"
+            ),
+        )
     )
 
 
@@ -1436,14 +1457,26 @@ _REPETITION_ORACLE = f"""
 """
 
 
+_DSIR_B = 4096
+_DSIR_ALPHA = 1.0
+
+
 def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic sampling (operators/sampling.py): membership =
     pmod(xxhash64(str(key), salt), 1e6) < frac*1e6 — same sample on any
     layout/cluster/engine, unlike df.sample(seed) which changes with the
     partitioning. Stratified: 'en'-labeled docs kept at a different rate.
-    Oracle replays the hash via the XXH64 SQL port."""
+    Oracle replays the hash via the XXH64 SQL port.
+
+    ALSO merged r5: the sampled rows carry the full DSIR importance-
+    resampling signal (operators/dsir.py — Xie et al. 2023): target =
+    'en'-labeled docs, raw = the whole corpus, add-α hashed unigram+bigram
+    models, per-doc log likelihood-ratio (`dsir_logw`) and the
+    deterministic Gumbel-perturbed resampling key (`dsir_key`). The oracle
+    recomputes both from scratch — gram explosion, md5-bucket hash, model
+    fit, Gumbel noise — with no baked constants."""
     from recipeselectors_spark.functions import text as TX
-    from recipeselectors_spark.operators import sampling
+    from recipeselectors_spark.operators import dsir, sampling
 
     docs = _documents(spark, sf_dir).withColumn(
         "lang", TX.langid_expr("text")
@@ -1452,7 +1485,31 @@ def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, 0.25, key="doc_id", salt=7,
         strata={"en": 0.5}, strata_col="lang",
     )
-    return out.select("doc_id", "lang")
+    target = docs.where(F.col("lang") == "en").select("text")
+    ratio, zero = dsir.fit_bucket_ratio(
+        target, docs, n_buckets=_DSIR_B, alpha=_DSIR_ALPHA
+    )
+    w = dsir.dsir_logweights(
+        docs, ratio, zero, n_buckets=_DSIR_B
+    )
+    keyed = w.select(
+        "doc_id",
+        F.col("log_w"),
+        (
+            F.col("log_w")
+            + dsir.gumbel_key(F.col("doc_id").cast("string"))
+        ).alias("__key__"),
+    )
+    return (
+        out.select("doc_id", "lang")
+        .join(keyed, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.round("log_w", ROUND).alias("dsir_logw"),
+            F.round("__key__", ROUND).alias("dsir_key"),
+        )
+    )
 
 
 def _det_sample_oracle() -> str:
@@ -1463,14 +1520,74 @@ def _det_sample_oracle() -> str:
         X.hash_int_sql("7", X.xxh64_str_sql("CAST(doc_id AS VARCHAR)"))
     )
     bucket = f"(({h}) % {BUCKETS} + {BUCKETS}) % {BUCKETS}"
+    # DSIR replay: hashed unigram+bigram buckets via the md5-prefix trick
+    # (identical to Spark's conv(substr(md5(g),1,15),16,10) % B), add-alpha
+    # model counts fitted in SQL (nt/nr/dt/dr are exact integers-in-double),
+    # Gumbel key from md5('dsir|'||id) — u strictly inside (0,1).
+    a, B = _DSIR_ALPHA, _DSIR_B
+    u = (
+        "(('0x' || substr(md5('dsir|' || CAST(s.doc_id AS VARCHAR)), 1, 15))"
+        f"::UBIGINT::DOUBLE + 0.5::DOUBLE) / {float(16 ** 15)!r}::DOUBLE"
+    )
     return f"""
         WITH langed AS (
           SELECT doc_id, lang_pred AS lang FROM ({_langid_oracle()})
+        ),
+        sampled AS (
+          SELECT doc_id, lang FROM langed
+          WHERE {bucket} < CASE WHEN lang = 'en'
+                                THEN {int(0.5 * BUCKETS)}
+                                ELSE {int(0.25 * BUCKETS)} END
+        ),
+        ftk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(tk || CASE WHEN length(tk) >= 2 THEN
+                   [array_to_string(tk[i:i+1], ' ')
+                    FOR i IN generate_series(1, length(tk) - 1)]
+                 ELSE [] END) AS gram
+          FROM ftk
+        ),
+        gb AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(gram), 1, 15))::UBIGINT
+                  % {B})::BIGINT AS bucket
+          FROM grams
+        ),
+        tcnt AS (
+          SELECT bucket, COUNT(*)::BIGINT AS c FROM gb
+          JOIN langed USING (doc_id) WHERE lang = 'en' GROUP BY 1
+        ),
+        rcnt AS (SELECT bucket, COUNT(*)::BIGINT AS c FROM gb GROUP BY 1),
+        tot AS (
+          SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt)::DOUBLE
+                   + {a}::DOUBLE * {B} AS dt,
+                 (SELECT COALESCE(SUM(c), 0) FROM rcnt)::DOUBLE
+                   + {a}::DOUBLE * {B} AS dr
+        ),
+        ratio AS (
+          SELECT bucket,
+                 ln((COALESCE(t.c, 0) + {a}::DOUBLE) / tot.dt)
+                 - ln((COALESCE(r.c, 0) + {a}::DOUBLE) / tot.dr) AS logr
+          FROM tcnt t FULL OUTER JOIN rcnt r USING (bucket) CROSS JOIN tot
+        ),
+        w AS (
+          SELECT gb.doc_id, SUM(ratio.logr) AS log_w
+          FROM gb JOIN ratio USING (bucket) GROUP BY 1
+        ),
+        lw AS (
+          SELECT d.doc_id, COALESCE(w.log_w, 0.0::DOUBLE) AS log_w
+          FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
         )
-        SELECT doc_id, lang FROM langed
-        WHERE {bucket} < CASE WHEN lang = 'en'
-                              THEN {int(0.5 * BUCKETS)}
-                              ELSE {int(0.25 * BUCKETS)} END
+        SELECT s.doc_id, s.lang,
+               ROUND(lw.log_w, {ROUND}) AS dsir_logw,
+               ROUND(lw.log_w + (-ln(-ln({u}))), {ROUND}) AS dsir_key
+        FROM sampled s JOIN lw ON s.doc_id = lw.doc_id
     """
 
 
@@ -2949,16 +3066,55 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN c USING (doc_id)
         """,
         "text_quality": f"""
+            -- scalar quality features + a full BM25 recompute (inverted
+            -- index, df, N/avgdl, Lucene idf) for the fixed query
+            -- {_BM25_QUERY!r}; dl/N/df are exact integers and
+            -- avgdl = sum(int)/count is exact in double, so both engines
+            -- compute identical scores term-by-term.
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
               FROM documents
+            ),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ),
+            post AS (
+              SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM post GROUP BY 1),
+            stats AS (
+              SELECT COUNT(*)::BIGINT AS n, AVG(dl) AS avgdl FROM dl
+            ),
+            dfreq AS (
+              SELECT term, COUNT(*)::BIGINT AS df FROM post
+              WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(_BM25_QUERY.lower().split())))})
+              GROUP BY 1
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     SUM(ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE)
+                              / (d.df + 0.5::DOUBLE))
+                         * (p.tf * 2.2::DOUBLE)
+                         / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE
+                              + 0.75::DOUBLE * l.dl / s.avgdl))) AS bm25
+              FROM post p
+              JOIN dfreq d USING (term)
+              JOIN dl l USING (doc_id)
+              CROSS JOIN stats s
+              GROUP BY 1
             )
-            SELECT doc_id,
+            SELECT t.doc_id,
                    ROUND(length(list_filter(toks, t -> t='the' OR t='a'))::double
                      / length(toks), {ROUND}) AS stopword_ratio,
                    ROUND((nc - length(toks) + 1)::double / length(toks),
-                     {ROUND}) AS avg_word_len
-            FROM t
+                     {ROUND}) AS avg_word_len,
+                   ROUND(COALESCE(sc.bm25, 0.0::DOUBLE), {ROUND}) AS bm25_fixed
+            FROM t LEFT JOIN scored sc ON t.doc_id = sc.doc_id
         """,
         "cosine_topk": _COSINE_ORACLE,
         "mrmr_scores": _MRMR_ORACLE,

@@ -1,0 +1,159 @@
+"""BM25 full-text relevance ranking over the document corpus.
+
+The retrieval half of a training-data pipeline: score corpus documents
+against keyword queries with Okapi BM25 (Robertson & Zaragoza 2009, the
+Lucene-default formulation with the always-positive idf), entirely in
+Catalyst — the inverted index is a DataFrame, the scorer is a broadcast
+join, and every quantity (tf, df, dl, avgdl) is a plain aggregate, so the
+whole operator replays in ANSI SQL with no constants baked in.
+
+Scale shape (100 TB):
+
+* postings (doc, term, tf, dl) = ONE map-side-combined
+  ``groupBy(doc, term)`` after a map-only explode;
+* document frequencies = one further map-side-combined ``groupBy(term)``
+  over the (already term-keyed) postings — bounded by vocabulary size;
+* scoring = BROADCAST the query-term table (queries are small by
+  definition) against the postings — the corpus-sized side never
+  shuffles on term — then one ``groupBy(q_id, doc_id)`` sum;
+* per-query top-k = a single ``row_number`` window partitioned by query.
+
+``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (never negative);
+``score(q, d) = sum_t idf(t) * tf * (k1 + 1) /
+(tf + k1 * (1 - b + b * dl / avgdl))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from recipeselectors_spark.functions import text as TX
+
+
+def build_postings(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted index: ``(id_col, __term__, __tf__, __dl__)`` — one row
+    per (document, distinct term), with the term frequency and the
+    document length in tokens. One shuffle."""
+    toks = corpus.select(
+        F.col(id_col),
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("__term__"),
+    ).where(F.col("__term__") != "")
+    return (
+        toks.groupBy(id_col, "__term__")
+        .agg(F.count("*").alias("__tf__"))
+        .withColumn(
+            "__dl__",
+            F.sum("__tf__").over(Window.partitionBy(id_col)),
+        )
+    )
+
+
+def corpus_stats(postings: DataFrame, id_col: str = "doc_id") -> tuple[int, float]:
+    """``(N, avgdl)`` — corpus size and mean document length, from the
+    postings alone (two scalar aggregates, one job)."""
+    row = (
+        postings.groupBy(id_col)
+        .agg(F.first("__dl__").alias("__dl__"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("__dl__").alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+
+def bm25_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    query_id_col: str = "q_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """All nonzero BM25 scores: ``(q_id, doc_id, bm25)``, one row per
+    (query, document) pair sharing at least one term.
+
+    Repeated terms inside one query count once (set semantics — the
+    standard web-search behavior). No window/rank — this is the scale
+    path for bulk scoring (e.g. one reference query against the whole
+    corpus); use :func:`bm25_topk` when you want ranked cut-offs."""
+    postings = build_postings(corpus, text_col, id_col)
+    n_docs, avgdl = corpus_stats(postings, id_col)
+
+    dfreq = postings.groupBy("__term__").agg(
+        F.count("*").alias("__df__")
+    )
+    idf = dfreq.select(
+        "__term__",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("__df__") + F.lit(0.5))
+            / (F.col("__df__") + F.lit(0.5))
+        ).alias("__idf__"),
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(TX.tokens(F.lower(F.col(query_col))))
+        ).alias("__term__"),
+    ).where(F.col("__term__") != "")
+    qidf = qterms.join(idf, "__term__")  # query side stays tiny
+
+    per_term = postings.join(F.broadcast(qidf), "__term__").select(
+        query_id_col,
+        id_col,
+        (
+            F.col("__idf__")
+            * (F.col("__tf__") * (F.lit(k1) + 1.0))
+            / (
+                F.col("__tf__")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl__") / F.lit(avgdl)
+                )
+            )
+        ).alias("__s__"),
+    )
+    return per_term.groupBy(query_id_col, id_col).agg(
+        F.sum("__s__").alias("bm25")
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    query_id_col: str = "q_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` corpus documents per query by BM25.
+
+    Returns ``(q_id, doc_id, bm25, rank)`` with rank 1..k per query, ties
+    broken by ``doc_id`` ascending so results are total-ordered and
+    reproducible. The rank window partitions by query — fine for real
+    retrieval workloads (many queries, each matching a corpus slice); for
+    bulk one-query scoring without a cut-off use :func:`bm25_scores`."""
+    scored = bm25_scores(
+        corpus, queries, text_col, id_col, query_col, query_id_col, k1, b
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "bm25", "rank")
+    )

@@ -169,3 +169,205 @@ def test_compact_parquet(spark, tmp_path):
         compaction.compact_parquet(spark, src, src)
     with pytest.raises(ValueError, match="strategy"):
         compaction.compact_parquet(spark, src, dst + "_x", strategy="zip")
+
+
+# ---------------------------------------------------------------- DSIR
+
+import hashlib
+
+from recipeselectors_spark.operators import dsir
+
+
+def _md5_bucket(s: str, B: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % B
+
+
+def _grams(text: str, bigrams: bool = True):
+    toks = [w for w in text.lower().split() if w]
+    g = list(toks)
+    if bigrams and len(toks) >= 2:
+        g += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return g
+
+
+def _dsir_oracle(target_texts, raw_rows, B, alpha, bigrams=True,
+                 salt="dsir"):
+    """Exact recompute of fit_bucket_ratio + dsir_logweights + gumbel."""
+    ct, cr = Counter(), Counter()
+    for t in target_texts:
+        ct.update(_md5_bucket(g, B) for g in _grams(t, bigrams))
+    for _, t in raw_rows:
+        cr.update(_md5_bucket(g, B) for g in _grams(t, bigrams))
+    nt, nr = sum(ct.values()), sum(cr.values())
+    dt, dr = nt + alpha * B, nr + alpha * B
+
+    def logr(b):
+        return math.log((ct.get(b, 0) + alpha) / dt) - math.log(
+            (cr.get(b, 0) + alpha) / dr
+        )
+
+    weights, keys = {}, {}
+    for doc_id, t in raw_rows:
+        w = sum(logr(_md5_bucket(g, B)) for g in _grams(t, bigrams))
+        weights[doc_id] = w
+        v = int(
+            hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (v + 0.5) / 16 ** 15
+        keys[doc_id] = w + -math.log(-math.log(u))
+    return weights, keys
+
+
+def test_dsir_logweights_match_oracle(spark):
+    target = ["the solar system has eight planets",
+              "planets orbit the sun in ellipses",
+              "the moon orbits the earth"]
+    raw = [("a", "planets orbit the sun"),
+           ("b", "buy cheap pills now discount discount"),
+           ("c", "the earth and the moon"),
+           ("d", ""),
+           ("e", "sun sun sun")]
+    B, alpha = 512, 1.0
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    rdf = spark.createDataFrame(raw, ["doc_id", "text"])
+
+    ratio, zero = dsir.fit_bucket_ratio(tdf, rdf, n_buckets=B, alpha=alpha)
+    got = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir.dsir_logweights(
+            rdf, ratio, zero, n_buckets=B
+        ).collect()
+    }
+    want, _ = _dsir_oracle(target, raw, B, alpha)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    assert got["d"] == 0.0  # gram-less doc
+
+    # on-domain beats off-domain
+    assert got["a"] > got["b"]
+    assert got["c"] > got["b"]
+
+
+def test_dsir_select_is_deterministic_gumbel_topk(spark):
+    target = ["alpha beta gamma delta", "beta gamma epsilon"]
+    raw = [(f"doc{i:02d}",
+            "alpha beta gamma" if i % 3 == 0 else "zzz qqq www " * (i % 5 + 1))
+           for i in range(30)]
+    B, alpha, k = 256, 0.5, 7
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    rdf = spark.createDataFrame(raw, ["doc_id", "text"])
+
+    sel = dsir.dsir_select(
+        rdf, tdf, k=k, n_buckets=B, alpha=alpha
+    ).collect()
+    _, keys = _dsir_oracle(target, raw, B, alpha)
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:k]
+    assert [r["doc_id"] for r in sel] == want
+    for r in sel:
+        assert r["gumbel_key"] == pytest.approx(keys[r["doc_id"]], abs=1e-9)
+
+    # layout-invariant: same set after an unrelated repartition
+    sel2 = dsir.dsir_select(
+        rdf.repartition(7, "text"), tdf, k=k, n_buckets=B, alpha=alpha
+    ).collect()
+    assert [r["doc_id"] for r in sel2] == want
+
+    # TakeOrderedAndProject, not a global sort exchange
+    plan = dsir.dsir_select(
+        rdf, tdf, k=k, n_buckets=B, alpha=alpha
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = ["neural networks learn representations from data"] * 2
+    on = [(f"on{i}", "neural networks learn from data") for i in range(5)]
+    off = [(f"off{i}", "casino jackpot winner claim prize") for i in range(5)]
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    rdf = spark.createDataFrame(on + off, ["doc_id", "text"])
+    sel = dsir.dsir_select(rdf, tdf, k=5, n_buckets=1024, alpha=0.1)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert all(i.startswith("on") for i in ids), ids
+
+
+# ---------------------------------------------------------------- BM25
+
+from recipeselectors_spark.operators import bm25
+
+
+def _bm25_oracle(docs, queries, k1=1.2, b=0.75):
+    """Exact BM25 recompute in plain Python (set-semantics query terms)."""
+    toks = {d: [w for w in t.lower().split() if w] for d, t in docs}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    dfreq = Counter()
+    for ts in toks.values():
+        dfreq.update(set(ts))
+    out = {}
+    for q_id, qt in queries:
+        qterms = set(w for w in qt.lower().split() if w)
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            s = 0.0
+            for t in qterms:
+                if tf[t] == 0 or dfreq[t] == 0:
+                    continue
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * tf[t] * (k1 + 1) / (
+                    tf[t] + k1 * (1 - b + b * dl[d] / avgdl)
+                )
+            if s > 0:
+                out[(q_id, d)] = s
+    return out
+
+
+def test_bm25_matches_oracle(spark):
+    docs = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the lazy dog sleeps all day the dog snores"),
+        ("d3", "quick quick quick brown foxes everywhere"),
+        ("d4", "an unrelated document about solar panels"),
+        ("d5", "dog dog dog dog dog dog dog dog"),
+    ]
+    queries = [("q1", "quick brown dog"), ("q2", "solar dog dog")]
+    cdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame(queries, ["q_id", "query"])
+
+    got = bm25.bm25_topk(cdf, qdf, k=5).collect()
+    want = _bm25_oracle(docs, queries)
+    assert {(r["q_id"], r["doc_id"]) for r in got} == set(want)
+    for r in got:
+        assert r["bm25"] == pytest.approx(
+            want[(r["q_id"], r["doc_id"])], rel=1e-12
+        ), (r["q_id"], r["doc_id"])
+
+    # ranks are dense 1..n per query, ordered by score desc then doc_id
+    for q in {"q1", "q2"}:
+        rows = sorted(
+            (r for r in got if r["q_id"] == q), key=lambda r: r["rank"]
+        )
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["bm25"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+    # top-k truncation
+    got2 = bm25.bm25_topk(cdf, qdf, k=1).collect()
+    per_q = Counter(r["q_id"] for r in got2)
+    assert all(v == 1 for v in per_q.values())
+    best_q1 = min(
+        ((d, s) for (q, d), s in want.items() if q == "q1"),
+        key=lambda ds: (-ds[1], ds[0]),
+    )[0]
+    assert [r["doc_id"] for r in got2 if r["q_id"] == "q1"] == [best_q1]
+
+
+def test_bm25_query_term_set_semantics(spark):
+    docs = [("a", "dog cat"), ("b", "dog dog mouse")]
+    cdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    q1 = spark.createDataFrame([("q", "dog")], ["q_id", "query"])
+    q2 = spark.createDataFrame([("q", "dog dog dog")], ["q_id", "query"])
+    s1 = {r["doc_id"]: r["bm25"] for r in bm25.bm25_topk(cdf, q1).collect()}
+    s2 = {r["doc_id"]: r["bm25"] for r in bm25.bm25_topk(cdf, q2).collect()}
+    assert s1 == s2  # repeated query terms count once
