@@ -628,8 +628,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle recomputes all of it from the raw table (no baked
     constants; docs with no query-term overlap score 0)."""
     from recipeselectors_spark.operators import bm25 as B25
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
 
-    docs = _documents(spark, sf_dir)
+    # the scalar-feature expressions (token arrays, filters) evaluate in
+    # the docs scan stage — spread the single-row-group scan (guide §2.5)
+    docs = ensure_parallelism(_documents(spark, sf_dir))
     toks = F.split(F.col("text"), " ")
     stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
     qdf = spark.createDataFrame([("q", _BM25_QUERY)], ["q_id", "query"])
@@ -654,11 +657,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 against query vec_id=0 (similarity-search
     baseline; F.aggregate/zip_with dot product, JVM-side)."""
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
     )
-    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    # dot products evaluate in the corpus scan stage — spread it first
+    joined = ensure_parallelism(
+        emb.where(F.col("vec_id") != 0)
+    ).crossJoin(F.broadcast(q))
     dot = F.aggregate(
         F.zip_with("embedding", "q_emb", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -1360,7 +1368,9 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipeselectors_spark.functions import text as TX
     from recipeselectors_spark.operators import sketch
 
-    docs = _documents(spark, sf_dir)
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    docs = ensure_parallelism(_documents(spark, sf_dir))
     topk = (
         docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("token"))
         .where(F.col("token") != "")

@@ -52,9 +52,16 @@ def prepare(
     permutation passes) compute the label dictionary ONCE and skip the
     per-call distinct job — the outcome column is untouched by shadowing/
     permutation, so the mapping is invariant across their iterations."""
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
     kind = outcome_kind(df, outcome)
     cols = list(x_names) + [outcome]
-    clean = df.select(*cols).dropna()
+    # MLlib tree/ensemble fits iterate over the INPUT partitioning; a
+    # single-row-group parquet scan would serialize the whole fit onto one
+    # core (guide §2.5) — spread narrow inputs before assembling. No-op for
+    # frames that already arrive partitioned (Boruta's cached repartition,
+    # permutation passes, any real-scale scan).
+    clean = ensure_parallelism(df.select(*cols).dropna())
     if kind == "classification":
         if mapping is None:
             mapping = label_mapping(clean, outcome)

@@ -194,8 +194,14 @@ def minhash_dedup_pairs(
     matching minhash components — verification never leaves the bucket join.
     ``max_bucket`` bounds the per-bucket join fan-out (see cap_buckets).
     """
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    # the signature pass is the CPU-heavy narrow stage of this operator
+    # (num_perm transforms over every shingle array); a single-row-group
+    # input would run it on one core — spread it first (guide §2.5)
     sigs = with_minhash(
-        df.select(id_col, text_col), text_col, num_perm, k_shingle, seed
+        ensure_parallelism(df.select(id_col, text_col)), text_col, num_perm,
+        k_shingle, seed
     ).select(id_col, "minhash")
     # materialize the signatures ONCE and cut the lineage: sigs feeds FOUR
     # downstream branches (both sides of the bucket self-join + both sides
@@ -290,7 +296,12 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    renamed = df.select(id_col, F.col(vec_col).alias("__v__"))
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    # sign-signature dot products run in the scan stage — spread first
+    renamed = ensure_parallelism(
+        df.select(id_col, F.col(vec_col).alias("__v__"))
+    )
     # planes ship as one broadcast array column (codegen-safe at dim 768+),
     # all bands in a single pass — see similarity.with_band_buckets.
     # localCheckpoint: the banded frame feeds BOTH sides of the bucket
@@ -368,8 +379,11 @@ def decontaminate(
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     # shingles() is array_distinct per doc, so (id, shingle) pairs are
-    # already unique after the explode — no dedup shuffle needed
-    doc_sh = docs.select(
+    # already unique after the explode — no dedup shuffle needed. The
+    # shingle hashing runs in the scan stage: spread a narrow scan first.
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    doc_sh = ensure_parallelism(docs.select(id_col, text_col)).select(
         id_col, F.explode(TX.shingles(text_col, k=k_shingle)).alias("__sh__")
     )
     hits = (
@@ -591,6 +605,10 @@ def with_fingerprint(
     an Arrow pandas UDF — robust to small local edits, deterministic."""
     from pyspark.sql.functions import pandas_udf
 
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)  # the UDF runs in the scan stage
+
     @pandas_udf(LongType())
     def fp(texts: pd.Series) -> pd.Series:
         return pd.Series(
@@ -608,6 +626,10 @@ def with_simhash(
     """64-bit SimHash signature via an Arrow pandas UDF (bit-vote kernel —
     genuinely cheaper in numpy than as 64 Catalyst aggregates)."""
     from pyspark.sql.functions import pandas_udf
+
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)  # the UDF runs in the scan stage
 
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
@@ -705,7 +727,9 @@ def repeated_span_pairs(
             ]
         )
 
-    postings = df.select(
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    postings = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(prints(F.col(text_col))).alias("__fp__")
     )
     if max_postings is not None:

@@ -66,11 +66,16 @@ def cosine_topk(
     """Exact top-k per query: broadcast-crossjoin + per-query window top-k."""
     from pyspark.sql.window import Window
 
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
     q = query.select(
         F.col(query_id_col), F.col(vec_col).alias("__q_vec__")
     )
+    # the dot products run in the corpus scan stage — spread a narrow
+    # (single-row-group) scan so they use every core (guide §2.5)
     scored = with_cosine(
-        corpus.crossJoin(F.broadcast(q)), vec_col, "__q_vec__"
+        ensure_parallelism(corpus).crossJoin(F.broadcast(q)),
+        vec_col, "__q_vec__",
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
@@ -173,8 +178,14 @@ def lsh_ann_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
     def banded(df: DataFrame, idc: str) -> DataFrame:
         renamed = df.select(F.col(idc), F.col(vec_col).alias(f"__vec_{idc}__"))
+        if idc == id_col:
+            # corpus side: the bands×planes dot products run in the scan
+            # stage — spread a narrow scan first (query side stays tiny)
+            renamed = ensure_parallelism(renamed)
         return with_band_buckets(
             renamed,
             f"__vec_{idc}__",
@@ -294,7 +305,11 @@ def ivf_topk(
         )
         return F.slice(F.reverse(F.array_sort(structs)), 1, n)
 
-    c_assigned = corpus.crossJoin(F.broadcast(cent_df)).withColumn(
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    c_assigned = ensure_parallelism(corpus).crossJoin(
+        F.broadcast(cent_df)
+    ).withColumn(
         "cell", nearest_cells(F.col(vec_col), 1)[0]["cell"]
     ).drop("__cent__")
     q_assigned = query.crossJoin(F.broadcast(cent_df)).withColumn(
