@@ -1890,11 +1890,13 @@ def q_boruta_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipeselectors_spark.operators import BorutaStep
 
     class SqlReplayBoruta(BorutaStep):
-        def _fit_importances(self, df, all_feats, kind):
-            self._replay_run = getattr(self, "_replay_run", 0) + 1
+        def _fit_importances(self, df, all_feats, kind, run=0):
+            # the run number arrives explicitly (runs may be fitted
+            # concurrently since r6) — same per-run stream as the old
+            # call-order counter, now order-independent
             out = []
             for name in all_feats:
-                d = hashlib.md5(f"{name}:{self._replay_run}".encode()).digest()
+                d = hashlib.md5(f"{name}:{run}".encode()).digest()
                 u = int.from_bytes(d[:8], "little") / 2.0**64
                 out.append(_BORUTA_BIAS.get(name, 0.0) + u)
             return np.array(out)

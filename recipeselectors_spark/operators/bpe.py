@@ -172,6 +172,7 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out: str = "bpe_tokens",
+    cache_entries: int = 1 << 18,
 ) -> DataFrame:
     """Tokenize ``text_col`` with a learned merge table.
 
@@ -183,7 +184,13 @@ def bpe_encode(
     """
     ranks = {p: i for i, p in enumerate(merges)}
     word_re = re.compile(BPE_ISH)
-    cache: dict[str, list[str]] = {}  # per-python-worker, survives batches
+    # per-python-worker memo, survives batches. BOUNDED (drop-on-full):
+    # under the Zipf assumption the head words dominate hits either way,
+    # but a code/URL-heavy corpus streams high-entropy "words" — an
+    # unbounded dict would grow for the lifetime of a reused worker
+    # (VERDICT r5 #4). The default 2^18 entries ≈ tens of MB worst case.
+    cache: dict[str, list[str]] = {}
+    cache_cap = cache_entries
 
     @F.pandas_udf(ArrayType(StringType()))
     def _encode(texts: pd.Series) -> pd.Series:
@@ -192,7 +199,9 @@ def bpe_encode(
             for w in word_re.findall((t or "").lower()):
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = encode_word(w, ranks)
+                    got = encode_word(w, ranks)
+                    if len(cache) < cache_cap:
+                        cache[w] = got
                 pieces.extend(got)
             return pieces
 

@@ -96,8 +96,12 @@ class BorutaStep(SelectionStep):
         return _permute.with_permuted(df, x_names, seed=self.seed * 1000 + run)
 
     def _fit_importances(
-        self, df: DataFrame, all_feats: list[str], kind: str
+        self, df: DataFrame, all_feats: list[str], kind: str, run: int = 0
     ) -> np.ndarray:
+        """One run's RF importances. ``run`` is the 1-based run number —
+        passed explicitly (not derived from call order) so runs may be
+        fitted CONCURRENTLY (guide §2.6) without changing what any run
+        computes."""
         # label mapping computed once in prep (outcome untouched by shadows)
         assembled, _ = _mllib.prepare(
             df, all_feats, self.outcome, mapping=getattr(self, "_label_map", None)
@@ -107,6 +111,27 @@ class BorutaStep(SelectionStep):
             cls(numTrees=self.trees, maxDepth=self.max_depth, seed=self.seed)
         , assembled)
         return model.featureImportances.toArray()
+
+    def _earliest_decision_run(
+        self, hits: dict[str, int], runs: int, undecided: list[str],
+        alpha: float,
+    ) -> int:
+        """Smallest future run count at which ANY undecided feature could
+        possibly flip to Confirmed/Rejected — assuming the most favorable
+        outcomes of the runs in between (every future run a hit, or none).
+        Every run up to (and including) that number is executed
+        UNCONDITIONALLY by the sequential Boruta loop, so they can be
+        fitted concurrently with zero speculative waste and byte-identical
+        decisions: per-run importances depend only on the run number (the
+        shadow seed is ``seed*1000+run``), never on other runs."""
+        for r2 in range(runs + 1, self.max_runs + 1):
+            extra = r2 - runs
+            for c in undecided:
+                if stats.binom_sf(hits[c] + extra - 1, r2, 0.5) < alpha:
+                    return r2
+                if stats.binom_cdf(hits[c], r2, 0.5) < alpha:
+                    return r2
+        return self.max_runs
 
     def prep(self, df: DataFrame, roles=None) -> FittedStep:
         from recipeselectors_spark.plans import roles as roles_mod
@@ -142,35 +167,70 @@ class BorutaStep(SelectionStep):
         decision = {c: "Tentative" for c in x_names}
         imp_history: list[dict[str, float]] = []
         runs = 0
+        alpha = self.p_value / (len(x_names) if self.mc_adj else 1)
+
+        def one_run(run: int) -> np.ndarray:
+            shadowed, shadow_names = self._with_shadows(clean, x_names, run)
+            return self._fit_importances(
+                shadowed, list(x_names) + shadow_names, kind, run
+            )
+
         try:
             while runs < self.max_runs and any(
                 d == "Tentative" for d in decision.values()
             ):
-                runs += 1
-                shadowed, shadow_names = self._with_shadows(clean, x_names, runs)
-                imps = self._fit_importances(
-                    shadowed, list(x_names) + shadow_names, kind
-                )
-                real_imp = dict(zip(x_names, imps[: len(x_names)]))
-                shadow_max = float(np.max(imps[len(x_names):])) if shadow_names else 0.0
-                imp_history.append({**real_imp, "__shadow_max__": shadow_max})
-                for c in x_names:
-                    if real_imp[c] > shadow_max:
-                        hits[c] += 1
-
-                # Boruta:::TestFeatures: each one-sided tail is Bonferroni-
-                # adjusted over ALL attributes (p.adjust method="bonferroni")
-                # and compared to pValue itself — not pValue/2, not adjusted
-                # over the undecided subset only (ADVICE r1).
+                # all runs up to the earliest-possible decision point are
+                # unconditional (see _earliest_decision_run) — fit them
+                # CONCURRENTLY so one fit's stage tail back-fills with the
+                # next fit's tasks (guide §2.6); results are processed
+                # strictly in run order below, so hits/decisions/history
+                # are byte-identical to the sequential loop.
                 undecided = [c for c, d in decision.items() if d == "Tentative"]
-                alpha = self.p_value / (len(x_names) if self.mc_adj else 1)
-                for c in undecided:
-                    # too many hits: P(X >= hits) small → Confirmed
-                    if stats.binom_sf(hits[c] - 1, runs, 0.5) < alpha:
-                        decision[c] = "Confirmed"
-                    # too few hits: P(X <= hits) small → Rejected
-                    elif stats.binom_cdf(hits[c], runs, 0.5) < alpha:
-                        decision[c] = "Rejected"
+                horizon = self._earliest_decision_run(
+                    hits, runs, undecided, alpha
+                )
+                batch = list(range(runs + 1, max(horizon, runs + 1) + 1))
+                if len(batch) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    from pyspark import inheritable_thread_target
+
+                    # 3 in flight is plenty: enough to fill stage tails,
+                    # not so many the fits fight for executor slots
+                    with ThreadPoolExecutor(
+                        max_workers=min(3, len(batch))
+                    ) as pool:
+                        batch_imps = list(
+                            pool.map(inheritable_thread_target(one_run), batch)
+                        )
+                else:
+                    batch_imps = [one_run(batch[0])]
+
+                for run, imps in zip(batch, batch_imps):
+                    runs = run
+                    real_imp = dict(zip(x_names, imps[: len(x_names)]))
+                    shadow_max = (
+                        float(np.max(imps[len(x_names):])) if len(imps) > len(x_names) else 0.0
+                    )
+                    imp_history.append({**real_imp, "__shadow_max__": shadow_max})
+                    for c in x_names:
+                        if real_imp[c] > shadow_max:
+                            hits[c] += 1
+
+                    # Boruta:::TestFeatures: each one-sided tail is
+                    # Bonferroni-adjusted over ALL attributes (p.adjust
+                    # method="bonferroni") and compared to pValue itself —
+                    # not pValue/2, not undecided-only (ADVICE r1).
+                    undecided = [
+                        c for c, d in decision.items() if d == "Tentative"
+                    ]
+                    for c in undecided:
+                        # too many hits: P(X >= hits) small → Confirmed
+                        if stats.binom_sf(hits[c] - 1, runs, 0.5) < alpha:
+                            decision[c] = "Confirmed"
+                        # too few hits: P(X <= hits) small → Rejected
+                        elif stats.binom_cdf(hits[c], runs, 0.5) < alpha:
+                            decision[c] = "Rejected"
         finally:
             clean.unpersist()
 

@@ -138,8 +138,8 @@ class ForestsStep(SelectionStep):
         baseline = self._metric(model, assembled, kind)
         self._baseline_metric = baseline
 
-        out: dict[str, float] = {}
-        for i, c in enumerate(x_names):
+        def one_feature(args: tuple[int, str]) -> float:
+            i, c = args
             if self.permute == "rotation":
                 # x+outcome as numeric tiebreaks: rows colliding in the
                 # md5 key AND every scored column are interchangeable
@@ -153,7 +153,25 @@ class ForestsStep(SelectionStep):
             assembled_i, _ = _mllib.prepare(
                 shuffled, x_names, self.outcome, mapping=mapping
             )
-            out[c] = float(baseline - self._metric(model, assembled_i, kind))
+            return float(baseline - self._metric(model, assembled_i, kind))
+
+        # the per-feature scoring passes are independent reads of the
+        # cached frame — run a few concurrently so one pass's stage tail
+        # back-fills with the next pass's tasks (guide §2.6); each result
+        # depends only on (feature, seed+i), so output is order-invariant
+        items = list(enumerate(x_names))
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            with ThreadPoolExecutor(max_workers=min(3, len(items))) as pool:
+                deltas = list(
+                    pool.map(inheritable_thread_target(one_feature), items)
+                )
+        else:
+            deltas = [one_feature(items[0])]
+        out = dict(zip(x_names, deltas))
         clean.unpersist()
         return out
 

@@ -168,3 +168,18 @@ def test_histogram_plan_is_take_ordered(spark, docs):
     plan = counts._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_bpe_encode_cache_cap_of_two_is_correct(spark, docs):
+    # drop-on-full memo: a cap of 2 entries forces constant eviction on a
+    # many-word corpus; output must be identical to the unbounded form
+    merges = bpe.train_bpe(docs, num_merges=30)
+    unbounded = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    capped = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe.bpe_encode(docs, merges, cache_entries=2).collect()
+    }
+    assert capped == unbounded
