@@ -221,14 +221,17 @@ def q_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recipeselectors_spark.operators import asof
 
     spine, feats = _asof_inputs(spark, sf_dir)
-    plain = asof.asof_join_union(spine, feats, ["click_value"], on="conv_id")
-    tol = asof.asof_join_union(
-        spine, feats, ["click_value"], on="conv_id", tolerance_s=600
-    ).withColumnRenamed("click_value", "click_value_tol")
-    out = plain.join(tol, ["conv_id", "ts", "purchase_id"])
+    # ONE union + ONE window exchange produces both the plain carry and the
+    # tolerance-gated carry (r6: the round-5 form ran two full union-window
+    # passes and joined them — twice the scans, twice the window exchanges)
+    out = asof.asof_join_union(
+        spine, feats, ["click_value"], on="conv_id", tolerance_s=600,
+        ungated_suffix="__plain",
+    )
     return out.select(
         F.col("conv_id").alias("user_id"), "ts", "purchase_id",
-        "click_value", "click_value_tol",
+        F.col("click_value__plain").alias("click_value"),
+        F.col("click_value").alias("click_value_tol"),
     )
 
 

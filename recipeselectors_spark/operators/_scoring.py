@@ -43,7 +43,12 @@ def nominal_cols(df: DataFrame, names: list[str]) -> list[str]:
 
 def melt_numeric(df: DataFrame, x_names: list[str], outcome: str) -> DataFrame:
     """(feature:string, x:double, y:string) tall frame via stack — a
-    zero-shuffle generator, codegen'd."""
+    zero-shuffle generator, codegen'd. Deliberately NOT repartitioned on
+    narrow inputs (r6): the melt feeds a map-side-combined aggregation
+    whose pre-shuffle work is light, so an extra round-robin exchange costs
+    more than the parallelism it buys (measured: chi2/roc regressed ~1 s
+    at sf1.0 with it; contrast the minhash/UDF paths where the narrow-stage
+    work is seconds and spreading wins 10x)."""
     pairs = ", ".join(f"'{c}', cast({quote(c)} as double)" for c in x_names)
     return df.selectExpr(
         f"stack({len(x_names)}, {pairs}) as (feature, x)",

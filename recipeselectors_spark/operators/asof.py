@@ -44,6 +44,7 @@ def asof_join_union(
     on: str = CONV,
     ts: str = "ts",
     tolerance_s: int | None = None,
+    ungated_suffix: str | None = None,
 ) -> DataFrame:
     """Backward as-of join, exact matches allowed (feature.ts <= spine.ts).
 
@@ -56,6 +57,12 @@ def asof_join_union(
     semantics (a per-column last-non-null would mix columns from different
     feature rows; ADVICE r1). The tolerance check uses the carried row's own
     ts, by construction.
+
+    ``ungated_suffix`` (with a tolerance): ALSO emit each value column
+    WITHOUT the tolerance gate as ``<c><ungated_suffix>`` — both the plain
+    and the tolerance-gated answers from ONE union + ONE window exchange,
+    instead of two full passes joined back together (guide §2.4: operations
+    keyed the same way share one exchange).
     """
     spine_cols = spine.columns
     s = spine.withColumn("__side__", F.lit(1))
@@ -100,6 +107,11 @@ def asof_join_union(
             - F.col("__carry__")["__fts__"].cast("timestamp").cast("long")
         )
         keep = age <= tolerance_s
+        if ungated_suffix is not None:
+            for c in value_cols:
+                out = out.withColumn(
+                    f"{c}{ungated_suffix}", F.col("__carry__")[c]
+                )
     for c in value_cols:
         out = out.withColumn(
             c, F.when(keep, F.col("__carry__")[c]).otherwise(F.lit(None))

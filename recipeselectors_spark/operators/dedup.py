@@ -470,12 +470,54 @@ def _star_components(
     )
 
 
+def _small_graph_components(
+    sym: DataFrame, vertices: DataFrame, id_col: str
+) -> DataFrame:
+    """Driver union-find over a BOUNDED edge list (the caller checked the
+    count) — replaces an O(rounds) sequence of join+checkpoint jobs with
+    one bounded collect + one broadcast join. Vertices not on any edge
+    stay their own cluster via the left join. Identical output to the
+    iterative paths: cluster = component-minimum id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        a, b = row["src"], row["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root is already the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    spark = vertices.sparkSession
+    id_type = dict(vertices.dtypes)[id_col]
+    lab = spark.createDataFrame(
+        rows, f"`{id_col}` {id_type}, `__cc_label__` {id_type}"
+    )
+    return vertices.join(F.broadcast(lab), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("__cc_label__", F.col(id_col)).alias("cluster"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
     strategy: str = "auto",  # auto | label | star
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs.
 
@@ -518,9 +560,6 @@ def connected_components(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
         return _stars_to_clusters(_star_components(sym0))
-    lab = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("label")
-    ).localCheckpoint()
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -528,6 +567,18 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    if strategy == "auto" and small_graph_edges is not None:
+        # scale-adaptive dispatch: near-dup pair graphs are usually TINY
+        # relative to the corpus (dedup ran exact-first and capped
+        # buckets), and the iterative loop pays 2-3 jobs per round no
+        # matter how small the data. A bounded count on the checkpointed
+        # edges picks a one-collect driver union-find under the cap; the
+        # distributed O(rounds)/O(log n) paths remain the scale route.
+        if sym.count() <= small_graph_edges:
+            return _small_graph_components(sym, vertices, id_col)
+    lab = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("label")
+    ).localCheckpoint()
     changed = 0
     for _ in range(max_iter):
         prop = (

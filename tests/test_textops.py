@@ -1163,3 +1163,40 @@ def test_full_corpus_pipeline_end_to_end(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "compacted")).count()
         == split.count()
     )
+
+
+def test_small_graph_fast_path_agrees_with_distributed(spark):
+    """r6: strategy='auto' under the edge cap routes to the one-collect
+    driver union-find; its labels must equal both distributed paths, and
+    auto with the cap disabled (small_graph_edges=0) must still run the
+    distributed loop (the deep-chain star fallback stays reachable)."""
+    rng = __import__("random").Random(7)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    edges += [(rng.randrange(50), rng.randrange(50)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = spark.createDataFrame([(i,) for i in range(55)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    fast = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(pairs, verts).collect()
+    )
+    lab = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(
+            pairs, verts, strategy="label"
+        ).collect()
+    )
+    star = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(
+            pairs, verts, strategy="star"
+        ).collect()
+    )
+    no_cap = dict(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.connected_components(
+            pairs, verts, small_graph_edges=0
+        ).collect()
+    )
+    assert fast == lab == star == no_cap
