@@ -42,6 +42,17 @@ def label_mapping(df: DataFrame, outcome: str) -> dict[str, int]:
     return {c: i for i, c in enumerate(classes)}
 
 
+def label_expr(outcome: str, mapping: dict[str, int] | None):
+    """The label column: mapped class index (classification) or a double
+    cast (regression/None mapping)."""
+    if mapping is None:
+        return F.col(outcome).cast("double")
+    expr = F.lit(None).cast("double")
+    for cls_name, idx in mapping.items():
+        expr = F.when(F.col(outcome) == cls_name, float(idx)).otherwise(expr)
+    return expr
+
+
 def prepare(
     df: DataFrame, x_names: list[str], outcome: str,
     mapping: dict[str, int] | None = None,
@@ -65,12 +76,9 @@ def prepare(
     if kind == "classification":
         if mapping is None:
             mapping = label_mapping(clean, outcome)
-        expr = F.lit(None).cast("double")
-        for cls_name, idx in mapping.items():
-            expr = F.when(F.col(outcome) == cls_name, float(idx)).otherwise(expr)
-        clean = clean.withColumn(LABEL_COL, expr)
+        clean = clean.withColumn(LABEL_COL, label_expr(outcome, mapping))
     else:
-        clean = clean.withColumn(LABEL_COL, F.col(outcome).cast("double"))
+        clean = clean.withColumn(LABEL_COL, label_expr(outcome, None))
     assembler = VectorAssembler(
         inputCols=list(x_names), outputCol=FEATURES_COL, handleInvalid="skip"
     )

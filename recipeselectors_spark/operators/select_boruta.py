@@ -102,10 +102,22 @@ class BorutaStep(SelectionStep):
         passed explicitly (not derived from call order) so runs may be
         fitted CONCURRENTLY (guide §2.6) without changing what any run
         computes."""
-        # label mapping computed once in prep (outcome untouched by shadows)
-        assembled, _ = _mllib.prepare(
-            df, all_feats, self.outcome, mapping=getattr(self, "_label_map", None)
-        )
+        if _mllib.LABEL_COL in df.columns:
+            # prep's frame already carries the numeric label (r6: the
+            # per-run Arrow shadow pass ships only doubles — the string
+            # outcome never crosses the Python boundary, guide §4.1)
+            from pyspark.ml.feature import VectorAssembler
+
+            assembled = VectorAssembler(
+                inputCols=list(all_feats), outputCol=_mllib.FEATURES_COL,
+                handleInvalid="skip",
+            ).transform(df)
+        else:
+            # label mapping computed once in prep (outcome untouched)
+            assembled, _ = _mllib.prepare(
+                df, all_feats, self.outcome,
+                mapping=getattr(self, "_label_map", None),
+            )
         cls = RandomForestClassifier if kind == "classification" else RandomForestRegressor
         model = _mllib.fit_estimator(
             cls(numTrees=self.trees, maxDepth=self.max_depth, seed=self.seed)
@@ -149,18 +161,28 @@ class BorutaStep(SelectionStep):
         # round-robin ONCE: disperses any global ordering so the per-run
         # partition-local shadow permutation matches a global one statistically
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-        clean = (
-            df.select(*x_names, self.outcome)
-            .dropna()
-            .repartition(n_parts)
-            .cache()
-        )
-        # one distinct job for the label dictionary, reused by every run —
-        # each run previously re-derived it through the Arrow shadow pass
+        base = df.select(*x_names, self.outcome).dropna()
+        # one distinct job for the label dictionary, reused by every run
         self._label_map = (
-            _mllib.label_mapping(clean, self.outcome)
+            _mllib.label_mapping(base, self.outcome)
             if kind == "classification"
             else None
+        )
+        # cache the frame with the label ALREADY numeric: every run's
+        # Arrow shadow pass then moves pure doubles across the Python
+        # boundary instead of re-serializing the string outcome 2x per run.
+        # The label projection happens AFTER the round-robin repartition so
+        # sort-before-repartition sees the same bytes as always — the
+        # partition layout (and with it every seeded shadow permutation and
+        # the golden ImpHistory stream) is unchanged.
+        clean = (
+            base.repartition(n_parts)
+            .withColumn(
+                _mllib.LABEL_COL,
+                _mllib.label_expr(self.outcome, self._label_map),
+            )
+            .drop(self.outcome)
+            .cache()
         )
 
         hits = {c: 0 for c in x_names}
@@ -198,7 +220,7 @@ class BorutaStep(SelectionStep):
                     # 3 in flight is plenty: enough to fill stage tails,
                     # not so many the fits fight for executor slots
                     with ThreadPoolExecutor(
-                        max_workers=min(3, len(batch))
+                        max_workers=min(4, len(batch))
                     ) as pool:
                         batch_imps = list(
                             pool.map(inheritable_thread_target(one_run), batch)

@@ -83,11 +83,16 @@ class ForestsStep(SelectionStep):
         return cls(**kwargs)
 
     def score(self, df: DataFrame, x_names: list[str]) -> dict[str, float]:
-        assembled, kind = _mllib.prepare(df, x_names, self.outcome)
-        model = _mllib.fit_estimator(self._estimator(kind), assembled)
         if self.importance == "impurity":
+            assembled, kind = _mllib.prepare(df, x_names, self.outcome)
+            model = _mllib.fit_estimator(self._estimator(kind), assembled)
             return pull_importances(model, x_names, scaled=True)
-        return self._permutation_importance(df, model, x_names, kind)
+        # permutation: fit FROM the cached/mixed frame the scoring passes
+        # use anyway — one scan + one label-dictionary job for the whole
+        # step instead of a separate uncached prepare for the fit (every
+        # MLlib internal pass then reads executor memory, not parquet)
+        return self._permutation_importance(df, None, x_names,
+                                            _mllib.outcome_kind(df, self.outcome))
 
     def _metric(self, model, scored_input: DataFrame, kind: str) -> float:
         pred = model.transform(scored_input)
@@ -135,6 +140,8 @@ class ForestsStep(SelectionStep):
             else None
         )
         assembled, _ = _mllib.prepare(clean, x_names, self.outcome, mapping=mapping)
+        if model is None:
+            model = _mllib.fit_estimator(self._estimator(kind), assembled)
         baseline = self._metric(model, assembled, kind)
         self._baseline_metric = baseline
 

@@ -371,5 +371,6 @@ def test_forests_permutation_label_mapping_computed_once(cells, monkeypatch):
         "class", terms=["x01", "x02", "x10", "x11"], top_p=2,
         trees=5, max_depth=3, importance="permutation",
     ).prep(df)
-    # 1 for the fit (score's prepare) + 1 shared by the 5 scoring passes
-    assert len(calls) == 2, calls
+    # r6: the fit now shares the cached frame AND the mapping with the
+    # scoring passes — exactly ONE label-dictionary job for the whole step
+    assert len(calls) == 1, calls
