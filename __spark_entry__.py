@@ -631,11 +631,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle recomputes all of it from the raw table (no baked
     constants; docs with no query-term overlap score 0)."""
     from recipeselectors_spark.operators import bm25 as B25
-    from recipeselectors_spark.operators._parallel import ensure_parallelism
 
-    # the scalar-feature expressions (token arrays, filters) evaluate in
-    # the docs scan stage — spread the single-row-group scan (guide §2.5)
-    docs = ensure_parallelism(_documents(spark, sf_dir))
+    docs = _documents(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
     qdf = spark.createDataFrame([("q", _BM25_QUERY)], ["q_id", "query"])
