@@ -61,9 +61,57 @@ def with_minhash(
     seed: int = 42,
     out: str = "minhash",
 ) -> DataFrame:
-    """MinHash signature column (array<bigint>, length num_perm) — entirely
-    Catalyst expressions: per-permutation ``min((a·x+b) mod p)`` over the
-    shingle-hash array. No shuffle, no Python."""
+    """MinHash signature column (array<bigint>, length num_perm):
+    per-permutation ``min((a·x+b) mod p)`` over the shingle-hash array.
+
+    The shingle hashing stays Catalyst (``TX.shingles`` — xxhash64, the
+    quantity every oracle replays); the ``num_perm`` affine transforms +
+    mins run as ONE vectorized numpy matmul-shaped kernel in an Arrow
+    pandas UDF (guide §4.2). The round-5 form evaluated them as
+    ``num_perm`` separate ``F.transform``/``F.array_min`` higher-order
+    expressions — interpreted per ELEMENT, ~num_perm × shingles ops per
+    document through the HOF interpreter, the measured hot spot of every
+    minhash-family query. Values are bit-identical: residues stay below
+    2^31, so ``h·a + b < 2^62`` never wraps int64 in either engine, and
+    numpy's ``%`` of a non-negative dividend matches Spark's. Map-only,
+    no shuffle."""
+    a, b = _perm_params(num_perm, seed)
+    a_np, b_np = np.asarray(a, dtype=np.int64), np.asarray(b, dtype=np.int64)
+    sh = TX.shingles(text_col, k=k_shingle)
+    df = df.withColumn("__sh__", sh)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def mh(shs: pd.Series) -> pd.Series:
+        acol = a_np[:, None]
+        bcol = b_np[:, None]
+        return pd.Series(
+            [
+                (
+                    ((np.abs(np.asarray(arr, dtype=np.int64)) % MERSENNE_P)
+                     [None, :] * acol + bcol)
+                    % MERSENNE_P
+                ).min(axis=1)
+                for arr in shs
+            ]
+        )
+
+    return df.withColumn(out, mh("__sh__")).drop("__sh__")
+
+
+def _with_minhash_catalyst(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    k_shingle: int = 3,
+    seed: int = 42,
+    out: str = "minhash",
+) -> DataFrame:
+    """The pre-r6 pure-Catalyst signature path — kept as the independent
+    reference implementation the equivalence test pins :func:`with_minhash`
+    against (and as the fallback if an environment lacks Arrow)."""
     a, b = _perm_params(num_perm, seed)
     sh = TX.shingles(text_col, k=k_shingle)
     df = df.withColumn("__sh__", sh)

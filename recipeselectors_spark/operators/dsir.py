@@ -59,6 +59,12 @@ def hashed_grams(
     joined bigrams of the lowercased whitespace tokens, each hashed to
     ``md5_prefix(gram) % n_buckets``. Map-only.
     """
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    # one md5 per unigram AND bigram of every document — the CPU-heavy
+    # narrow stage of this operator; a single-row-group scan would run it
+    # on one core (guide §2.5). No-op on inputs that already split.
+    df = ensure_parallelism(df.select(*([id_col] if id_col else []), text_col))
     toks = TX.tokens(F.lower(F.col(text_col)))
     toks = F.filter(toks, lambda t: t != "")
     grams = toks

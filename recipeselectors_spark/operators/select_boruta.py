@@ -184,6 +184,12 @@ class BorutaStep(SelectionStep):
             .drop(self.outcome)
             .cache()
         )
+        # materialize the cache ONCE before the concurrent batch below:
+        # Spark's cache does not lock in-flight partitions, so N threads
+        # hitting an unmaterialized cache each recompute the base pass
+        # (observed: the first fit wave paying the repartition 4x). One
+        # cheap count turns the race into N cache reads.
+        clean.count()
 
         hits = {c: 0 for c in x_names}
         decision = {c: "Tentative" for c in x_names}

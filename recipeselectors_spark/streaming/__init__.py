@@ -124,9 +124,9 @@ def streaming_near_dup_flags(
     """Flag incoming documents that LSH-collide with an EXISTING corpus —
     the incremental-ingest shape of MinHash dedup.
 
-    The stream side is fully STATELESS (shingle → minhash → band buckets,
-    all Catalyst expressions from operators/dedup.py — no action, no
-    state store); collisions come from a stream-static equi-join on
+    The stream side is fully STATELESS (shingle → minhash → band buckets
+    from operators/dedup.py — Catalyst shingling plus the vectorized Arrow
+    signature kernel; no action, no state store); collisions come from a stream-static equi-join on
     (band, bucket) against ``corpus_banded`` (the
     ``dedup.minhash_candidates`` output for the landed corpus — same
     num_perm/bands/seed or buckets will never match). The static side is

@@ -371,3 +371,19 @@ def test_bm25_query_term_set_semantics(spark):
     s1 = {r["doc_id"]: r["bm25"] for r in bm25.bm25_topk(cdf, q1).collect()}
     s2 = {r["doc_id"]: r["bm25"] for r in bm25.bm25_topk(cdf, q2).collect()}
     assert s1 == s2  # repeated query terms count once
+
+
+def test_ensure_parallelism_spreads_narrow_scans(spark):
+    """The scan-parallelism guard (operators/_parallel.py) repartitions a
+    frame planned at few partitions up to defaultParallelism, is a no-op
+    on an already-parallel frame, and never changes row content."""
+    from recipeselectors_spark.operators._parallel import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    spread = ensure_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000).repartition(target)
+    assert ensure_parallelism(wide) is wide  # no-op, not a new exchange

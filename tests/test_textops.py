@@ -1200,3 +1200,30 @@ def test_small_graph_fast_path_agrees_with_distributed(spark):
         ).collect()
     )
     assert fast == lab == star == no_cap
+
+
+def test_minhash_kernel_matches_catalyst_reference(spark):
+    """The r6 vectorized-numpy minhash kernel must be BIT-IDENTICAL to the
+    pre-r6 pure-Catalyst HOF form on real corpus text (incl. short docs
+    that take the whole-doc-hash shingle branch) — same shingle hashes,
+    same affine arithmetic, same mins, for several num_perm/k settings."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    short = spark.createDataFrame(
+        [(900001, "one two"), (900002, "solo"), (900003, "")],
+        ["doc_id", "text"],
+    )
+    df = base.select("doc_id", "text").unionByName(short)
+    for num_perm, k in ((32, 3), (8, 2)):
+        got = {
+            r["doc_id"]: list(r["minhash"])
+            for r in dedup.with_minhash(
+                df, num_perm=num_perm, k_shingle=k
+            ).select("doc_id", "minhash").collect()
+        }
+        want = {
+            r["doc_id"]: list(r["minhash"])
+            for r in dedup._with_minhash_catalyst(
+                df, num_perm=num_perm, k_shingle=k
+            ).select("doc_id", "minhash").collect()
+        }
+        assert got == want
