@@ -94,14 +94,9 @@ def frequent_tokens(
         # into the running summary; when it exceeds k entries, subtract
         # the (k+1)-th largest count from all and drop <= 0. Total
         # undercount per partition <= N_p/(k+1) — the same Misra-Gries
-        # guarantee, at Arrow-batch speed. The partition's exact token
-        # count rides along as one extra (token=NULL) row so the global
-        # total needs NO second corpus pass (guide §1.2: remove passes —
-        # this was previously its own full tokenize+count job).
+        # guarantee, at Arrow-batch speed.
         acc: Counter = Counter()
-        n_part = 0
         for pdf in batches:
-            n_part += len(pdf)
             vc = pdf["token"].value_counts()
             acc.update(dict(zip(vc.index, (int(v) for v in vc.values))))
             if len(acc) > k:
@@ -109,26 +104,21 @@ def frequent_tokens(
                 acc = Counter(
                     {t: c - kth for t, c in acc.items() if c > kth}
                 )
-        yield pd.DataFrame(
-            {"token": list(acc.keys()) + [None],
-             "n_part": [0] * len(acc) + [n_part]}
-        )
+        yield pd.DataFrame({"token": list(acc.keys())})
 
-    # the summary is BOUNDED (<= k+1 rows per partition); materialize it
-    # once so its two consumers (candidate set + total) do not each re-run
-    # the corpus-sized Misra-Gries pass
-    summary = toks.mapInPandas(
-        misra_gries, schema="token string, n_part long"
-    ).localCheckpoint()
     candidates = (
-        summary.where(F.col("token").isNotNull()).select("token").distinct()
+        toks.mapInPandas(misra_gries, schema="token string").distinct()
     )
     # ONE exact recount restricted to the bounded candidate set; the
-    # total-token count comes from the checkpointed summary (identical to
-    # a direct toks.count(): every token row is counted exactly once)
-    n_total = int(
-        summary.agg(F.sum("n_part").alias("s")).collect()[0]["s"] or 0
-    )
+    # total-token count is its own cheap scalar aggregate. Folding the
+    # total INTO the Misra-Gries summary (a token=NULL row per partition)
+    # to save this pass was measured (r6) in two variants —
+    # localCheckpoint'd summary, and a grouped collect + driver-built
+    # broadcast — and BOTH ran 1.4-2.4x slower end-to-end at sf0.1 AND
+    # sf1.0: at any corpus size where the candidate machinery is sized
+    # sanely, the extra action/shuffle/driver-serialization overhead
+    # exceeds one map-only tokenize+count pass. Three passes, kept.
+    n_total = toks.count()
     threshold = support * n_total
     return (
         toks.join(F.broadcast(candidates), "token", "left_semi")
